@@ -1,0 +1,541 @@
+"""Core network layers as flax modules over batched, padded sequences.
+
+Functionally equivalent to the reference's torch layers
+(/root/reference/fact_clip/models/basic.py): the dilated-TCN frame branches
+(MSTCN basic.py:173-220, MSTCN2 :222-281), the post-norm attention layers
+(SALayer :391-452, SCALayer :454-523) and decoders (:525-593), the
+single-head cross-attention with exposed probabilities/logits
+(X2Y_map :335-389), the bidirectional GRU (:283-308), and the positional
+encoding (:67-129) — redesigned for TPU:
+
+* everything is batched ``(B, N, H)`` with explicit validity masks instead of
+  the reference's B=1 sequence-major tensors;
+* attention over padded keys is masked with -inf before the softmax, and
+  dilated convolutions re-zero padding so boundary frames see exactly the
+  zero-padding semantics of the B=1 reference;
+* the GRU carries its hidden state through padded steps so bidirectional
+  scans match the unpadded computation;
+* parameter initializers replicate torch defaults so training dynamics are
+  comparable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# --------------------------------------------------------------------------
+# torch-style initializers
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """Kaiming-uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    fan_in = shape[0]
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_linear_bias_init(fan_in):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_conv_init(key, shape, dtype=jnp.float32):
+    """Conv kernel (k, in/groups, out): U(+-1/sqrt(k * in/groups))."""
+    fan_in = shape[0] * shape[1]
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def uniform_init(bound):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TorchDense(nn.Module):
+    """nn.Dense with torch nn.Linear default initialization."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        return nn.Dense(
+            self.features,
+            kernel_init=torch_linear_kernel_init,
+            bias_init=torch_linear_bias_init(in_dim),
+        )(x)
+
+
+# --------------------------------------------------------------------------
+# positional encoding
+
+
+def positional_encoding_table(length: int, d_model: int, empty: bool = False) -> jnp.ndarray:
+    """Sin/cos positional encoding table (length, d_model).
+
+    Matches PositionalEncoding.__compute_pe__ (basic.py:92-103); ``empty``
+    yields zeros (used when cfg.FACT.fpos is false).
+    """
+    if empty:
+        return jnp.zeros((length, d_model), jnp.float32)
+    position = jnp.arange(length, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32) * (-math.log(10000.0) / d_model))
+    ang = position * div_term  # (length, ceil(d/2))
+    pe = jnp.zeros((length, d_model), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(ang))
+    pe = pe.at[:, 1::2].set(jnp.cos(ang[:, : d_model // 2]))
+    return pe
+
+
+def add_pos(x: jnp.ndarray, pos: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Add a positional encoding to the first pos-dim channels of ``x``.
+
+    Matches add_positional_encoding (basic.py:313-320): ``pos`` may have
+    fewer channels than ``x``; only the leading channels are shifted.
+    """
+    if pos is None:
+        return x
+    d = pos.shape[-1]
+    if d == x.shape[-1]:
+        return x + pos
+    return jnp.concatenate([x[..., :d] + pos, x[..., d:]], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# dilated temporal convolution stacks (frame branches)
+
+
+def _dilated_conv(x, kernel, bias, dilation, ngroup):
+    """(B, T, C) x (3, C/g, C) grouped dilated conv with SAME zero padding."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1,),
+        padding=[(dilation, dilation)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=ngroup,
+    )
+    return out + bias
+
+
+class DilatedResidualLayer(nn.Module):
+    """Dilated conv3 -> ReLU -> 1x1 -> dropout -> residual (+LayerNorm).
+
+    Matches basic.py:131-171.  Padded frames are zeroed on input so valid
+    frames near the boundary see zero padding exactly like the B=1 reference.
+    """
+
+    dilation: int
+    nchannels: int
+    dropout: float = 0.5
+    layernorm: bool = True
+    ngroup: int = 1
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool):
+        C, g = self.nchannels, self.ngroup
+        kernel = self.param("conv_dilated_kernel", torch_conv_init, (3, C // g, C))
+        kbias = self.param("conv_dilated_bias", uniform_init(1.0 / math.sqrt(3 * C // g)), (C,))
+
+        xm = x * mask[:, :, None]
+        out = jax.nn.relu(_dilated_conv(xm, kernel, kbias, self.dilation, g))
+        out = TorchDense(C)(out)  # the 1x1 conv is a pointwise dense
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        x = xm + out
+        if self.layernorm:
+            x = nn.LayerNorm(epsilon=1e-5)(x)
+        return x
+
+
+class MSTCN(nn.Module):
+    """Stack of dilated residual layers with 1x1 in/out maps (basic.py:173-220)."""
+
+    in_dim: int
+    hid_dim: int
+    out_dim: int
+    num_layers: int
+    dropout: float = 0.5
+    dilation_factor: int = 2
+    ln: bool = True
+    ngroup: int = 1
+    in_map: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool):
+        if self.in_map:
+            x = TorchDense(self.hid_dim)(x)
+        else:
+            assert self.in_dim == self.hid_dim
+        for i in range(self.num_layers):
+            x = DilatedResidualLayer(
+                dilation=self.dilation_factor**i,
+                nchannels=self.hid_dim,
+                dropout=self.dropout,
+                layernorm=self.ln,
+                ngroup=self.ngroup,
+            )(x, mask, deterministic)
+        return TorchDense(self.out_dim)(x)
+
+
+class MSTCN2(nn.Module):
+    """MS-TCN++ dual-dilation variant (basic.py:222-281)."""
+
+    in_dim: int
+    hid_dim: int
+    out_dim: int
+    num_layers: int
+    dropout: float = 0.5
+    dilation_factor: int = 2
+    ngroup: int = 1
+    in_map: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool):
+        if self.in_map:
+            f = TorchDense(self.hid_dim)(x)
+        else:
+            assert self.in_dim == self.hid_dim
+            f = x
+        C, g = self.hid_dim, self.ngroup
+        m = mask[:, :, None]
+        for i in range(self.num_layers):
+            d1 = self.dilation_factor ** (self.num_layers - 1 - i)
+            d2 = self.dilation_factor**i
+            k1 = self.param(f"conv_dilated_1_{i}_kernel", torch_conv_init, (3, C // g, C))
+            b1 = self.param(f"conv_dilated_1_{i}_bias", uniform_init(1.0 / math.sqrt(3 * C // g)), (C,))
+            k2 = self.param(f"conv_dilated_2_{i}_kernel", torch_conv_init, (3, C // g, C))
+            b2 = self.param(f"conv_dilated_2_{i}_bias", uniform_init(1.0 / math.sqrt(3 * C // g)), (C,))
+            f_in = f
+            fm = f * m
+            cat = jnp.concatenate(
+                [_dilated_conv(fm, k1, b1, d1, g), _dilated_conv(fm, k2, b2, d2, g)], axis=-1
+            )
+            f = jax.nn.relu(TorchDense(C)(cat))
+            if i != self.num_layers - 1:
+                f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
+            f = f + f_in
+        return TorchDense(self.out_dim)(f)
+
+
+# --------------------------------------------------------------------------
+# attention
+
+
+class MultiHeadAttention(nn.Module):
+    """torch nn.MultiheadAttention equivalent (batch-first, masked keys)."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, query, key, value, key_mask=None, deterministic: bool = True):
+        E, H = self.embed_dim, self.num_heads
+        assert E % H == 0
+        hd = E // H
+        xavier = nn.initializers.xavier_uniform()
+        zeros = nn.initializers.zeros
+
+        q = nn.Dense(E, kernel_init=xavier, bias_init=zeros, name="q_proj")(query)
+        k = nn.Dense(E, kernel_init=xavier, bias_init=zeros, name="k_proj")(key)
+        v = nn.Dense(E, kernel_init=xavier, bias_init=zeros, name="v_proj")(value)
+
+        B, Nq, _ = q.shape
+        Nk = k.shape[1]
+        q = q.reshape(B, Nq, H, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Nk, H, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Nk, H, hd).transpose(0, 2, 1, 3)
+
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
+        if key_mask is not None:
+            logits = jnp.where(key_mask[:, None, None, :], logits, -jnp.inf)
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Nq, E)
+        out = nn.Dense(
+            E, kernel_init=torch_linear_kernel_init, bias_init=zeros, name="out_proj"
+        )(out)
+        return out
+
+
+class X2YMap(nn.Module):
+    """Single-head cross-attention with exposed probabilities and logits.
+
+    Matches X2Y_map (basic.py:335-389): K/V from X, Q from Y, concat of the
+    attended feature with Y, then a linear map to ``y_outdim``.  Returns
+    (y_out, probs, logits) with probs/logits of shape (B, Y, X) — the losses
+    and the two-branch decode consume them, so they are materialized (X or Y
+    is the small action-token axis, never T x T).
+    """
+
+    x_dim: int
+    y_dim: int
+    y_outdim: int
+    head_dim: int
+    dropout: float = 0.5
+    kq_pos: bool = False
+
+    @nn.compact
+    def __call__(self, x_feat, y_feat, x_pos=None, y_pos=None, x_mask=None, deterministic=True):
+        xk_in = add_pos(x_feat, x_pos) if (x_pos is not None and self.kq_pos) else x_feat
+        yq_in = add_pos(y_feat, y_pos) if (y_pos is not None and self.kq_pos) else y_feat
+
+        xk = TorchDense(self.head_dim)(xk_in)
+        xv = TorchDense(self.head_dim)(x_feat)
+        yq = TorchDense(self.head_dim)(yq_in)
+
+        logits = jnp.einsum("byd,bxd->byx", yq, xk) / math.sqrt(self.head_dim)
+        if x_mask is not None:
+            logits = jnp.where(x_mask[:, None, :], logits, -jnp.inf)
+        probs = jax.nn.softmax(logits, axis=-1)
+
+        attn_feat = jnp.einsum("byx,bxh->byh", probs, xv)
+        concat = jnp.concatenate([y_feat, attn_feat], axis=-1)
+        concat = nn.Dropout(self.dropout)(concat, deterministic=deterministic)
+        y_out = TorchDense(self.y_outdim)(concat)
+
+        if x_mask is not None:
+            # keep stored logits finite at masked keys for downstream log-softmax
+            logits = jnp.where(x_mask[:, None, :], logits, -1e9)
+        return y_out, probs, logits
+
+
+class SALayer(nn.Module):
+    """Post-norm transformer layer: MHA + FFN (basic.py:391-452)."""
+
+    q_dim: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    attn_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, tgt, key, value, query_pos=None, key_pos=None, key_mask=None, deterministic=True):
+        query = add_pos(tgt, query_pos)
+        key = add_pos(key, key_pos)
+        tgt2 = MultiHeadAttention(self.q_dim, self.nhead, self.attn_dropout)(
+            query, key, value, key_mask=key_mask, deterministic=deterministic
+        )
+        tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
+        tgt = nn.LayerNorm()(tgt)
+
+        ff = TorchDense(self.dim_feedforward)(tgt)
+        ff = nn.Dropout(self.dropout)(jax.nn.relu(ff), deterministic=deterministic)
+        tgt2 = TorchDense(self.q_dim)(ff)
+        tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
+        tgt = nn.LayerNorm()(tgt)
+        return tgt
+
+
+class SCALayer(nn.Module):
+    """Self-attention over tokens + cross-attention to frame memory + FFN
+    (basic.py:454-523)."""
+
+    action_dim: int
+    frame_dim: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    attn_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, tgt, memory, pos=None, query_pos=None, memory_mask=None, deterministic=True):
+        q = add_pos(tgt, query_pos)
+        tgt2 = MultiHeadAttention(self.action_dim, self.nhead, self.attn_dropout, name="self_attn")(
+            q, q, tgt, deterministic=deterministic
+        )
+        tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
+        tgt = nn.LayerNorm()(tgt)
+
+        query = add_pos(tgt, query_pos)
+        key = add_pos(memory, pos)
+        tgt2 = MultiHeadAttention(self.action_dim, self.nhead, self.attn_dropout, name="cross_attn")(
+            query, key, memory, key_mask=memory_mask, deterministic=deterministic
+        )
+        tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
+        tgt = nn.LayerNorm()(tgt)
+
+        ff = TorchDense(self.dim_feedforward)(tgt)
+        ff = nn.Dropout(self.dropout)(jax.nn.relu(ff), deterministic=deterministic)
+        tgt2 = TorchDense(self.action_dim)(ff)
+        tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
+        tgt = nn.LayerNorm()(tgt)
+        return tgt
+
+
+class SADecoder(nn.Module):
+    """N self-attention layers + output linear (basic.py:561-593)."""
+
+    in_dim: int
+    hid_dim: int
+    out_dim: int
+    num_layers: int
+    nhead: int
+    ffdim: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, tgt, pos=None, deterministic=True):
+        assert self.in_dim == self.hid_dim
+        out = tgt
+        for i in range(self.num_layers):
+            out = SALayer(
+                self.hid_dim, self.nhead, self.ffdim, self.dropout, self.dropout, name=f"layer{i}"
+            )(out, out, out, query_pos=pos, key_pos=pos, deterministic=deterministic)
+        return TorchDense(self.out_dim)(out)
+
+
+class SCADecoder(nn.Module):
+    """N SCA layers + final LayerNorm + output linear (basic.py:525-557)."""
+
+    in_dim: int
+    hid_dim: int
+    out_dim: int
+    frame_dim: int
+    num_layers: int
+    nhead: int
+    ffdim: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, tgt, memory, pos=None, query_pos=None, memory_mask=None, deterministic=True):
+        assert self.in_dim == self.hid_dim
+        out = tgt
+        for i in range(self.num_layers):
+            out = SCALayer(
+                self.hid_dim, self.frame_dim, self.nhead, self.ffdim, self.dropout, self.dropout,
+                name=f"layer{i}",
+            )(out, memory, pos=pos, query_pos=query_pos, memory_mask=memory_mask, deterministic=deterministic)
+        out = nn.LayerNorm()(out)
+        return TorchDense(self.out_dim)(out)
+
+
+# --------------------------------------------------------------------------
+# GRU
+
+
+class GRUCell(nn.Module):
+    """GRU cell with torch gate math: n = tanh(W_in x + b_in + r*(W_hn h + b_hn))."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, h, x):
+        H = self.hidden
+        in_dim = x.shape[-1]
+        bound = 1.0 / math.sqrt(H)
+        w_ih = self.param("w_ih", uniform_init(bound), (in_dim, 3 * H))
+        w_hh = self.param("w_hh", uniform_init(bound), (H, 3 * H))
+        b_ih = self.param("b_ih", uniform_init(bound), (3 * H,))
+        b_hh = self.param("b_hh", uniform_init(bound), (3 * H,))
+
+        gi = x @ w_ih + b_ih
+        gh = h @ w_hh + b_hh
+        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        return (1.0 - z) * n + z * h
+
+
+class BiGRU(nn.Module):
+    """Multi-layer bidirectional GRU over padded sequences.
+
+    Matches torch nn.GRU(bidirectional=True) semantics on the valid prefix:
+    the hidden state carries through padded steps unchanged, so the backward
+    pass entering the valid region is identical to running on the unpadded
+    sequence.  Inter-layer dropout as in torch (all layers but the last).
+    """
+
+    hidden: int  # per direction
+    num_layers: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic=True):
+        B, N, _ = x.shape
+        m = mask.astype(x.dtype)[:, :, None]
+
+        def run_direction(inp, cell, reverse):
+            h0 = jnp.zeros((B, self.hidden), inp.dtype)
+            xs = jnp.flip(inp, axis=1) if reverse else inp
+            ms = jnp.flip(m, axis=1) if reverse else m
+
+            def step(h, xm):
+                xt, mt = xm
+                h_new = cell(h, xt)
+                h = mt * h_new + (1.0 - mt) * h
+                return h, h
+
+            _, ys = jax.lax.scan(step, h0, (xs.transpose(1, 0, 2), ms.transpose(1, 0, 2)))
+            ys = ys.transpose(1, 0, 2)
+            return jnp.flip(ys, axis=1) if reverse else ys
+
+        out = x
+        for layer in range(self.num_layers):
+            fwd_cell = GRUCell(self.hidden, name=f"l{layer}_fwd")
+            bwd_cell = GRUCell(self.hidden, name=f"l{layer}_bwd")
+            yf = run_direction(out, fwd_cell, reverse=False)
+            yb = run_direction(out, bwd_cell, reverse=True)
+            out = jnp.concatenate([yf, yb], axis=-1)
+            if layer != self.num_layers - 1 and self.dropout > 0:
+                out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class ActionUpdateGRU(nn.Module):
+    """Bi-GRU action branch for transcript mode (basic.py:283-308)."""
+
+    in_dim: int
+    hid_dim: int
+    out_dim: int
+    n_layers: int
+    dropout: float = 0.5
+    out_map: bool = False
+
+    @nn.compact
+    def __call__(self, action_feature, mask, deterministic=True):
+        out = BiGRU(self.hid_dim // 2, self.n_layers, self.dropout)(
+            action_feature, mask, deterministic=deterministic
+        )
+        out = nn.LayerNorm(epsilon=1e-5)(out)
+        if self.out_map:
+            out = TorchDense(self.out_dim)(out)
+        else:
+            assert self.hid_dim == self.out_dim
+        return out
+
+
+class FeatureProjection(nn.Module):
+    """MLP projection of frame features into CLIP space, L2-normalized.
+
+    Matches blocks.py:141-175.
+    """
+
+    clip_dim: int = 512
+    hidden_dim: int = 512
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, feature, deterministic=True):
+        h = TorchDense(self.hidden_dim)(feature)
+        h = nn.LayerNorm()(h)
+        h = jax.nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = TorchDense(self.clip_dim)(h)
+        norm = jnp.linalg.norm(h, axis=-1, keepdims=True)
+        return h / jnp.maximum(norm, 1e-12)
