@@ -452,6 +452,19 @@ class GRUCell(nn.Module):
         return (1.0 - z) * n + z * h
 
 
+class _MaskedGRUStep(nn.Module):
+    """One masked GRU step: carries the hidden state through padded frames."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, h, xm):
+        xt, mt = xm
+        h_new = GRUCell(self.hidden, name="cell")(h, xt)
+        h = mt * h_new + (1.0 - mt) * h
+        return h, h
+
+
 class BiGRU(nn.Module):
     """Multi-layer bidirectional GRU over padded sequences.
 
@@ -470,27 +483,25 @@ class BiGRU(nn.Module):
         B, N, _ = x.shape
         m = mask.astype(x.dtype)[:, :, None]
 
-        def run_direction(inp, cell, reverse):
+        scan_step = nn.scan(
+            _MaskedGRUStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+
+        def run_direction(inp, name, reverse):
             h0 = jnp.zeros((B, self.hidden), inp.dtype)
             xs = jnp.flip(inp, axis=1) if reverse else inp
             ms = jnp.flip(m, axis=1) if reverse else m
-
-            def step(h, xm):
-                xt, mt = xm
-                h_new = cell(h, xt)
-                h = mt * h_new + (1.0 - mt) * h
-                return h, h
-
-            _, ys = jax.lax.scan(step, h0, (xs.transpose(1, 0, 2), ms.transpose(1, 0, 2)))
-            ys = ys.transpose(1, 0, 2)
+            _, ys = scan_step(self.hidden, name=name)(h0, (xs, ms))
             return jnp.flip(ys, axis=1) if reverse else ys
 
         out = x
         for layer in range(self.num_layers):
-            fwd_cell = GRUCell(self.hidden, name=f"l{layer}_fwd")
-            bwd_cell = GRUCell(self.hidden, name=f"l{layer}_bwd")
-            yf = run_direction(out, fwd_cell, reverse=False)
-            yb = run_direction(out, bwd_cell, reverse=True)
+            yf = run_direction(out, f"l{layer}_fwd", reverse=False)
+            yb = run_direction(out, f"l{layer}_bwd", reverse=True)
             out = jnp.concatenate([yf, yb], axis=-1)
             if layer != self.num_layers - 1 and self.dropout > 0:
                 out = nn.Dropout(self.dropout)(out, deterministic=deterministic)

@@ -1,0 +1,253 @@
+"""Batched, masked training losses.
+
+Numerically equivalent (per video) to MatchCriterion and the standalone
+losses in /root/reference/fact_clip/models/loss.py, reformulated over padded
+batches: every normalizer (frame counts, segment counts, class-weight sums)
+is computed per video from validity masks, so padding never perturbs the
+loss, and the batch loss is the mean of per-video losses — exactly the
+reference's Python-loop averaging (blocks.py:108-130).
+
+One deliberate deviation: the reference multiplies the per-segment weight
+vector (transcript order) onto loss columns ordered by the *matching* result,
+which silently permutes weights when the Hungarian column order is not
+sorted (loss.py:218-219).  We apply the weight of the segment the column
+actually represents.  With the default bgw=1.0 configs the two are identical.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_class_weights(cfg, nclasses: int, bg_ids, class_weight=None) -> np.ndarray:
+    """(C+1,) class weights: 1, bgw at background ids, nullw at the null slot.
+
+    Mirrors MatchCriterion.set_label (loss.py:64-72).
+    """
+    w = np.ones(nclasses + 1, np.float32)
+    w[-1] = cfg.Loss.nullw
+    if class_weight is not None:
+        w[:nclasses] = np.asarray(class_weight, np.float32)
+    else:
+        for i in bg_ids:
+            w[i] = cfg.Loss.bgw
+    return w
+
+
+def compute_null_weight(cfg, dataset):
+    """Auto nullw = ntoken / (num_null * nclasses) (train_tools.py:54-71)."""
+    ntoken = cfg.FACT.ntoken
+    num_null = ntoken - dataset.average_transcript_len
+    if cfg.dataset == "epic":
+        null_weight = ntoken / (num_null * (301 + 98) / 2)
+    else:
+        null_weight = ntoken / (num_null * dataset.nclasses)
+    cfg.defrost()
+    cfg.Loss.nullw = float(null_weight)
+    return cfg
+
+
+def masked_log_softmax(logits, mask, axis):
+    """log_softmax restricted to ``mask`` entries along ``axis``."""
+    neg = jnp.asarray(-1e9, logits.dtype)
+    masked = jnp.where(mask, logits, neg)
+    return jax.nn.log_softmax(masked, axis=axis)
+
+
+# --------------------------------------------------------------------------
+# per-loss terms; every function returns a per-video (B,) vector
+
+
+def action_token_loss(action_clogit, seg2tok, transcript, seg_mask, cweight):
+    """Weighted CE of token logits vs matched class, null elsewhere
+    (loss.py:195-207; torch weighted-CE normalization = sum of target weights)."""
+    B, M, C1 = action_clogit.shape
+    null_id = C1 - 1
+
+    clabel = jnp.full((B, M), null_id, jnp.int32)
+    idx = jnp.where(seg_mask, seg2tok, M)  # invalid segments scatter out of range
+    val = jnp.where(seg_mask, transcript, null_id).astype(jnp.int32)
+    clabel = clabel.at[jnp.arange(B)[:, None], idx].set(val, mode="drop")
+
+    logp = jax.nn.log_softmax(action_clogit, axis=-1)
+    ce = -jnp.take_along_axis(logp, clabel[..., None], axis=-1)[..., 0]  # (B, M)
+    w = cweight[clabel]  # (B, M)
+    return (ce * w).sum(axis=1) / jnp.maximum(w.sum(axis=1), 1e-12)
+
+
+def _build_targets(seg_label, frame_mask, seg_mask):
+    """Hard frame->GT-segment membership Y (B, R, S)."""
+    S = seg_mask.shape[1]
+    Y = jax.nn.one_hot(seg_label, S, dtype=jnp.float32) * frame_mask[..., None]
+    return Y * seg_mask[:, None, :]
+
+
+def a2f_attn_loss(logits_r2m, seg2tok, seg_mask, Y, sweight):
+    """Cross-attention loss, softmax over the matched-token axis.
+
+    logits_r2m: (B, R, M) attention logits, rows = frames or predicted segs.
+    Y: (B, R, S) row->GT-segment (soft) membership.
+    Matches cross_attn_loss(dim=2) / cross_attn_loss_tdu(dim=2)
+    (loss.py:209-222,224-244): columns are gathered by the matching (with
+    multiplicity under o2m) before the log-softmax.
+    """
+    G = jnp.take_along_axis(logits_r2m, seg2tok[:, None, :], axis=2)  # (B, R, S)
+    logp = masked_log_softmax(G, seg_mask[:, None, :], axis=2)
+    loss = -(logp * Y * sweight[:, None, :]).sum(axis=(1, 2))
+    norm = Y.sum(axis=(1, 2))
+    return loss / jnp.maximum(norm, 1e-12)
+
+
+def f2a_attn_loss(logits_m2r, seg2tok, seg_mask, row_mask, Y, sweight):
+    """Cross-attention loss, softmax over rows (frames / predicted segs).
+
+    logits_m2r: (B, M, R).  Matches cross_attn_loss(dim=1) variants.
+    """
+    G = jnp.take_along_axis(logits_m2r, seg2tok[:, :, None], axis=1)  # (B, S, R)
+    logp = masked_log_softmax(G, row_mask[:, None, :], axis=2)
+    Yt = Y.transpose(0, 2, 1)  # (B, S, R)
+    loss = -(logp * Yt * sweight[:, :, None]).sum(axis=(1, 2))
+    norm = Y.sum(axis=(1, 2))
+    return loss / jnp.maximum(norm, 1e-12)
+
+
+def frame_loss(frame_clogit, labels, frame_mask, cweight):
+    """Class-weighted CE on frame logits, normalized by frame count
+    (loss.py:246-258)."""
+    C = frame_clogit.shape[-1]
+    logp = jax.nn.log_softmax(frame_clogit, axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    w = cweight[:C][labels]
+    m = frame_mask.astype(ce.dtype)
+    return (ce * w * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1e-12)
+
+
+def frame_loss_tdu(seg_clogit, P, labels, cweight):
+    """Weighted CE on length-normalized pooled labels (loss.py:260-277)."""
+    C = seg_clogit.shape[-1]
+    onehot = jax.nn.one_hot(labels, C, dtype=jnp.float32)
+    pooled = jnp.einsum("bts,btc->bsc", P, onehot)
+    lens = P.sum(axis=1)  # (B, S_pred)
+    zoomed = pooled / jnp.maximum(lens, 1.0)[..., None]
+    logp = jax.nn.log_softmax(seg_clogit, axis=-1)
+    loss = -(logp * zoomed * cweight[:C]).sum(axis=(1, 2))
+    norm = zoomed.sum(axis=(1, 2))
+    return loss / jnp.maximum(norm, 1e-12)
+
+
+def smooth_loss(logits, pair_mask, col_mask=None, is_logit=True):
+    """Truncated squared difference of adjacent log-softmax rows
+    (loss.py:8-18), masked mean over valid adjacent pairs.
+
+    logits: (B, R, C); pair_mask: (B, R-1) — both frames valid.
+    """
+    if is_logit:
+        if col_mask is not None:
+            ls = masked_log_softmax(logits, col_mask[:, None, :], axis=-1)
+        else:
+            ls = jax.nn.log_softmax(logits, axis=-1)
+    else:
+        ls = logits
+    d = jnp.clip((ls[:, 1:] - ls[:, :-1]) ** 2, 0.0, 16.0)
+    pm = pair_mask.astype(d.dtype)[..., None]
+    if col_mask is not None:
+        pm = pm * col_mask[:, None, :].astype(d.dtype)
+        denom = pair_mask.sum(axis=1) * jnp.maximum(col_mask.sum(axis=1), 1)
+    else:
+        denom = pair_mask.sum(axis=1) * logits.shape[-1]
+    return (d * pm).sum(axis=(1, 2)) / jnp.maximum(denom, 1e-12)
+
+
+# --------------------------------------------------------------------------
+# per-block compositions (blocks.py:313-320, 369-382, 487-497)
+
+
+def block_loss(saves: dict, batch: dict, seg2tok, cweight_arr, sw: float, token_mask=None):
+    """Per-video loss (B,) of one block, matching Block.compute_loss."""
+    labels = batch["labels"]
+    frame_mask = batch["mask"]
+    seg_label = batch["seg_label"]
+    transcript = batch["transcript"]
+    seg_mask = batch["seg_mask"]
+
+    sweight = jnp.where(seg_mask, cweight_arr[transcript], 0.0)
+    pair_mask = frame_mask[:, 1:] & frame_mask[:, :-1]
+
+    fl = frame_loss(saves["frame_clogit"], labels, frame_mask, cweight_arr)
+    atk = action_token_loss(saves["action_clogit"], seg2tok, transcript, seg_mask, cweight_arr)
+
+    kind = saves["kind"]
+    if kind == "i":
+        sl = smooth_loss(saves["frame_clogit"], pair_mask)
+        return fl + atk + sw * sl
+
+    if kind == "u":
+        Y = _build_targets(seg_label, frame_mask, seg_mask)
+        f2a = f2a_attn_loss(saves["f2a_attn_logit"], seg2tok, seg_mask, frame_mask, Y, sweight)
+        a2f = a2f_attn_loss(saves["a2f_attn_logit"], seg2tok, seg_mask, Y, sweight)
+        al = smooth_loss(saves["a2f_attn_logit"], pair_mask, col_mask=token_mask)
+        flog = saves["f2a_attn_logit"].transpose(0, 2, 1)  # (B, T, M)
+        fsl = smooth_loss(flog, pair_mask, col_mask=token_mask)
+        sl = smooth_loss(saves["frame_clogit"], pair_mask)
+        return atk + f2a + a2f + fl + sw * (al + fsl + sl)
+
+    if kind == "U":
+        P = saves["tdu_P"]
+        seg_valid = saves["tdu_seg_valid"]
+        seg_loss = frame_loss_tdu(saves["seg_clogit"], P, labels, cweight_arr)
+        # soft targets: GT-segment membership pooled over predicted segments
+        S_gt = seg_mask.shape[1]
+        onehot_gt = jax.nn.one_hot(seg_label, S_gt, dtype=jnp.float32) * frame_mask[..., None]
+        pooled = jnp.einsum("btp,bts->bps", P, onehot_gt)
+        lens = P.sum(axis=1)
+        Y = pooled / jnp.maximum(lens, 1.0)[..., None]  # (B, S_pred, S_gt)
+        Y = Y * seg_mask[:, None, :]
+        f2a = f2a_attn_loss(saves["f2a_attn_logit"], seg2tok, seg_mask, seg_valid, Y, sweight)
+        a2f = a2f_attn_loss(saves["a2f_attn_logit"], seg2tok, seg_mask, Y, sweight)
+        sl = smooth_loss(saves["frame_clogit"], pair_mask)
+        return (fl + seg_loss) / 2.0 + atk + f2a + a2f + sw * sl
+
+    raise ValueError(kind)
+
+
+def fact_loss(saves_list, batch, seg2tok, cweight_arr, sw: float, token_mask=None):
+    """Mean over blocks of per-video block losses -> (B,) per-video loss
+    (blocks.py:90-106)."""
+    per_block = [
+        block_loss(s, batch, seg2tok, cweight_arr, sw, token_mask=token_mask) for s in saves_list
+    ]
+    return sum(per_block) / len(per_block)
+
+
+# --------------------------------------------------------------------------
+# CLIP contrastive loss
+
+
+def infonce_contrastive_loss(frame_emb, text_emb, labels, frame_mask, temperature: float):
+    """Symmetric InfoNCE between frame embeddings and class text embeddings.
+
+    Per-video equivalent of loss.py:280-341 with masked frames:
+    v2t = CE over frames; t2v = class-count-weighted CE over classes.
+    frame_emb: (B, T, E) normalized; text_emb: (n, E); labels: (B, T).
+    Returns (B,).
+    """
+    n = text_emb.shape[0]
+    sim = jnp.einsum("bte,ne->btn", frame_emb, text_emb) / temperature
+
+    m = frame_mask.astype(sim.dtype)
+    logp_v2t = jax.nn.log_softmax(sim, axis=-1)
+    ce = -jnp.take_along_axis(logp_v2t, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    v2t = (ce * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1e-12)
+
+    # text -> video: softmax over (valid) frames per class
+    neg = jnp.asarray(-1e9, sim.dtype)
+    sim_t = jnp.where(frame_mask[:, :, None], sim, neg)
+    logp_t2v = jax.nn.log_softmax(sim_t, axis=1)  # (B, T, n)
+    targets = jax.nn.one_hot(labels, n, dtype=sim.dtype) * m[..., None]
+    counts = jnp.maximum(targets.sum(axis=1), 1.0)  # (B, n)
+    per_class = -(logp_t2v * targets).sum(axis=1) / counts
+    t2v = per_class.mean(axis=1)
+
+    return (v2t + t2v) / 2.0

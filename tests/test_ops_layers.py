@@ -212,12 +212,12 @@ def test_bigru_matches_torch_and_padding_invariant(rng):
     for layer in range(layers):
         for direction, tag in [(0, "fwd"), (1, "bwd")]:
             suffix = "_reverse" if direction else ""
-            p[f"l{layer}_{tag}"] = {
+            p[f"l{layer}_{tag}"] = {"cell": {
                 "w_ih": jnp.array(getattr(tgru, f"weight_ih_l{layer}{suffix}").detach().numpy().T),
                 "w_hh": jnp.array(getattr(tgru, f"weight_hh_l{layer}{suffix}").detach().numpy().T),
                 "b_ih": jnp.array(getattr(tgru, f"bias_ih_l{layer}{suffix}").detach().numpy()),
                 "b_hh": jnp.array(getattr(tgru, f"bias_hh_l{layer}{suffix}").detach().numpy()),
-            }
+            }}
 
     ours = np.array(m.apply({"params": p}, jnp.array(x), jnp.ones((1, T), bool)))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
