@@ -156,12 +156,19 @@ class TrainLoader:
 
 
 class EvalLoader:
-    """Sequential iterator over the full dataset (no shuffling, no wrap)."""
+    """Sequential iterator over the full dataset (no shuffling).
 
-    def __init__(self, dataset: Dataset, batch_size: int, assembler: BatchAssembler):
+    Partial tail batches are padded by repeating the last video so every
+    batch has a static shape; the results store is keyed by video name, so
+    duplicate entries overwrite harmlessly (the reference's wrap-around
+    loader relies on the same property).
+    """
+
+    def __init__(self, dataset: Dataset, batch_size: int, assembler: BatchAssembler, pad: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.assembler = assembler
+        self.pad = pad
         self.videos = list(dataset.get_vnames())
         # group by bucket so eval batches are densely packed
         lens = [len(dataset[v].train_label) for v in self.videos]
@@ -175,6 +182,8 @@ class EvalLoader:
     def __iter__(self):
         for b in range(self.num_batch):
             vnames = self.videos[b * self.batch_size : (b + 1) * self.batch_size]
+            if self.pad and len(vnames) < self.batch_size:
+                vnames = vnames + [vnames[-1]] * (self.batch_size - len(vnames))
             yield self.assembler.assemble(vnames)
 
 

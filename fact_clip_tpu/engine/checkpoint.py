@@ -1,0 +1,79 @@
+"""Model checkpointing and the auto-resume contract.
+
+Keeps the reference's on-disk contract
+(/root/reference/fact_clip/utils/train_tools.py:8-52, scripts/train.py:316-317):
+weights live at ``<logdir>/ckpts/network.iter-<N>.net``; ``resume: "max"``
+loads the latest iteration and exits early when a FINISH_PROOF marker exists;
+``resume: <path>`` loads an explicit file (with the reference's split-name
+sanity check).  Files are flax-msgpack serialized param trees instead of
+torch pickles.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from flax import serialization
+
+
+def already_finished(logdir: str) -> bool:
+    return os.path.exists(logdir) and os.path.exists(os.path.join(logdir, "FINISH_PROOF"))
+
+
+def save_params(params, fname: str) -> None:
+    with open(fname, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_params(template, fname: str):
+    with open(fname, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def save_model(params, ckptdir: str, iteration: int) -> str:
+    fname = os.path.join(ckptdir, f"network.iter-{iteration}.net")
+    save_params(params, fname)
+    return fname
+
+
+def resume_ckpt(cfg, logdir: str):
+    """Return (global_step, ckpt_file or None) following the reference rules."""
+    if cfg.aux.resume == "" or not os.path.exists(logdir):
+        print("No resume, Train from Scratch")
+        return 0, None
+
+    if cfg.aux.resume == "max":
+        if already_finished(logdir):
+            print("----------------------------------------")
+            print("Exp %s %s already finished, Skip it!" % (cfg.aux.exp, cfg.aux.runid))
+            print("----------------------------------------")
+            sys.exit()
+
+        ckptdir = os.path.join(logdir, "ckpts")
+        if not os.path.isdir(ckptdir):
+            print("No resume, Train from Scratch")
+            return 0, None
+        files = [f for f in os.listdir(ckptdir) if f.startswith("network.iter-")]
+        if not files:
+            print("No resume, Train from Scratch")
+            return 0, None
+        iterations = [int(f[: -len(".net")].split("-")[-1]) for f in files]
+        it = max(iterations)
+        ckpt_file = os.path.join(ckptdir, f"network.iter-{it}.net")
+        print("Resume from", ckpt_file)
+        return it, ckpt_file
+
+    # explicit path
+    assert os.path.exists(cfg.aux.resume), cfg.aux.resume
+    assert cfg.split.lower() in cfg.aux.resume.lower(), (
+        f"Checkpoint path {cfg.aux.resume} does not mention split {cfg.split}"
+    )
+    base = os.path.basename(cfg.aux.resume)
+    it = int(base.split(".")[1].split("-")[1])
+    print("Resume from", cfg.aux.resume)
+    return it, cfg.aux.resume
+
+
+def write_finish_proof(logdir: str) -> None:
+    open(os.path.join(logdir, "FINISH_PROOF"), "w").close()

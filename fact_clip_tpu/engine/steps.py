@@ -1,0 +1,116 @@
+"""Jitted train / eval step builders.
+
+One ``train_step`` is a single XLA program: forward through all blocks,
+matching (host Hungarian callback inside the program for o2o/o2m), all
+losses, backward, optimizer update, and the train-time decode.  This
+replaces the reference's per-video Python loop with device<->host syncs at
+every TDU block and every matching call (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..models import decode, losses, matching
+
+
+def _model_kwargs(batch, trans: bool):
+    if trans:
+        return dict(transcript=batch["transcript"], seg_mask=batch["seg_mask"])
+    return dict(transcript=None, seg_mask=None)
+
+
+def make_step_fns(model, cfg, nclasses: int, cweight, clip_bundle=None):
+    """Build (train_step, eval_step).
+
+    clip_bundle: optional dict for FACT_CLIP with keys
+      text_emb        (n, 512) all-class text embeddings (decode)
+      seen_text_emb   (n_seen, 512) seen-class embeddings (training loss)
+      label_map       (n,) global->seen-subset index or -1 (holdout remap)
+      temp, fact_w, cont_w
+    """
+    trans = bool(cfg.FACT.trans)
+    mwt = float(cfg.FACT.mwt)
+    sw = float(cfg.Loss.sw)
+    loss_cfg = cfg.Loss
+    cweight = jnp.asarray(cweight)
+    use_clip = clip_bundle is not None
+
+    def _decode(saves, batch, frame_emb):
+        last = saves[-1]
+        token_mask = batch["seg_mask"] if trans else jnp.ones(last["action_clogit"].shape[:2], bool)
+        if trans:
+            return decode.decode_with_transcript(
+                batch["transcript"], batch["seg_mask"], last["a2f_attn"], last["frame_clogit"], mwt
+            )
+        if use_clip:
+            return decode.decode_with_clip(
+                last["action_clogit"], last["a2f_attn"], frame_emb,
+                clip_bundle["text_emb"], clip_bundle["temp"], mwt, token_mask,
+            )
+        return decode.decode_two_branch(
+            last["action_clogit"], last["a2f_attn"], last["frame_clogit"], mwt, token_mask
+        )
+
+    matcher = cfg.TPU.matcher if "TPU" in cfg else "auto"
+
+    def _match(saves, batch):
+        last = saves[-1]
+        cprob = jax.nn.softmax(last["action_clogit"], axis=-1)
+        return matching.match(
+            loss_cfg, cprob, last["a2f_attn"], batch["transcript"], batch["seg_label"],
+            batch["seg_mask"], batch["mask"], matcher=matcher, nclasses=nclasses,
+        )
+
+    def _loss(saves, batch, frame_emb):
+        seg2tok = _match(saves, batch)
+        token_mask = batch["seg_mask"] if trans else None
+        per_video = losses.fact_loss(saves, batch, seg2tok, cweight, sw, token_mask=token_mask)
+        aux = {"fact_loss": per_video}
+        if use_clip:
+            labels = clip_bundle["label_map"][batch["labels"]]  # remap to seen subset
+            valid = batch["mask"] & (labels >= 0)
+            contrastive = losses.infonce_contrastive_loss(
+                frame_emb, clip_bundle["seen_text_emb"], jnp.maximum(labels, 0), valid,
+                clip_bundle["temp"],
+            )
+            total = clip_bundle["fact_w"] * per_video + clip_bundle["cont_w"] * contrastive
+            aux["contrastive_loss"] = contrastive
+            per_video = total
+        return per_video, aux
+
+    def _apply(params, batch, rngs, train):
+        saves, tail = model.apply(
+            {"params": params}, batch["feats"], batch["mask"], batch["lengths"],
+            train=train, rngs=rngs, **_model_kwargs(batch, trans),
+        )
+        # tail is the projected frame embedding for FACT_CLIP, the raw final
+        # frame feature for vanilla FACT (unused there)
+        return saves, (tail if use_clip else None)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def train_step(state, batch, rng):
+        rngs = {"dropout": jax.random.fold_in(rng, 0), "aug": jax.random.fold_in(rng, 1)}
+
+        def loss_fn(params):
+            saves, frame_emb = _apply(params, batch, rngs, train=True)
+            per_video, aux = _loss(saves, batch, frame_emb)
+            pred = _decode(saves, batch, frame_emb)
+            return per_video.mean(), (per_video, aux, pred)
+
+        (loss, (per_video, aux, pred)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        out = {"loss": loss, "per_video_loss": per_video, "pred": pred}
+        for k, v in aux.items():
+            out[k] = v
+        return state, out
+
+    @jax.jit
+    def eval_step(params, batch):
+        saves, frame_emb = _apply(params, batch, None, train=False)
+        return _decode(saves, batch, frame_emb)
+
+    return train_step, eval_step

@@ -1,0 +1,182 @@
+"""The training and evaluation loops.
+
+Flow-compatible with /root/reference/scripts/train.py: epoch loop over a
+shuffled loader, train metrics accumulated into a results Checkpoint and
+reported every ``print_every`` steps, a test pass + weight checkpoint every
+``eval_every`` steps, best-model tracking by F1@0.50, the reference LR-decay
+rule (inside the optimizer schedule here), and the FINISH_PROOF completion
+marker.  The per-step compute is one jitted XLA program (engine/steps.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..configs.utils import cfg2flatdict
+from ..utils.results import Checkpoint, save_results
+from . import checkpoint as ckpt_io
+from .logging import Logger, split_metric_namespace
+from .setup import Experiment, build_experiment
+from .state import create_train_state, param_count
+from .steps import make_step_fns
+
+
+def _collect_video_saves(batch, pred_dev, per_video_loss=None, extra_losses=None):
+    """Slice device outputs back into per-video host dicts."""
+    pred = np.asarray(pred_dev)
+    saves = []
+    for i in range(len(batch.vnames)):
+        t = int(batch.lengths[i])
+        data = {"pred": pred[i, :t]}
+        if per_video_loss is not None:
+            loss_dict = {"loss": float(per_video_loss[i])}
+            if extra_losses:
+                for k, v in extra_losses.items():
+                    loss_dict[k] = float(v[i])
+            data["loss"] = loss_dict
+        saves.append(data)
+    return saves
+
+
+def evaluate(global_step, exp: Experiment, eval_step, params, logger, savedir):
+    """Test pass -> metrics -> results checkpoint (train.py:18-86)."""
+    cfg = exp.cfg
+    test_ds = exp.test_dataset
+    print("TESTING" + "~" * 10)
+    ckpt = Checkpoint(
+        global_step + 1,
+        bg_class=([] if cfg.eval_bg else test_ds.bg_class),
+        holdout_classes=test_ds.holdout_classes,
+        seen_classes=test_ds.seen_classes,
+    )
+    for batch in exp.test_loader():
+        pred = eval_step(params, batch.device_arrays)
+        video_saves = _collect_video_saves(batch, pred)
+        save_results(ckpt, batch.vnames, batch.eval_labels, video_saves)
+
+    ckpt.compute_metrics()
+
+    log_dict = split_metric_namespace(ckpt.metrics)
+    print(", ".join("%s:%.1f" % (k, v) for k, v in ckpt.metrics.items()) + "\n")
+
+    if len(test_ds.holdout_classes) > 0:
+        print("=" * 60)
+        print("HOLDOUT EVALUATION SUMMARY")
+        for key in ("Acc-seen", "Acc-unseen", "F1@0.50-seen", "F1@0.50-unseen"):
+            if key in ckpt.metrics:
+                print(f"{key}: {ckpt.metrics[key]:.1f}%")
+        print("=" * 60)
+
+    logger.log(log_dict, step=global_step + 1)
+    ckpt.save(os.path.join(savedir, "%d.gz" % (global_step + 1)))
+    if len(test_ds.holdout_classes) > 0:
+        ckpt.save_detailed_results(os.path.join(savedir, f"{global_step + 1}_detailed.json"))
+    return ckpt
+
+
+def run_train(cfg, text_embeddings=None, base_dir=None):
+    """Full training entry (mirrors scripts/train.py __main__)."""
+    base = base_dir or os.getcwd()
+    logdir = os.path.join(base, cfg.aux.logdir)
+    ckptdir = os.path.join(logdir, "ckpts")
+    savedir = os.path.join(logdir, "saves")
+    os.makedirs(ckptdir, exist_ok=True)
+    os.makedirs(savedir, exist_ok=True)
+    print("Saving log at", logdir)
+
+    # resume decision first: exits early if FINISH_PROOF exists
+    global_step, ckpt_file = ckpt_io.resume_ckpt(cfg, logdir)
+
+    with open(os.path.join(logdir, "args.json"), "w") as f:
+        json.dump(cfg2flatdict(cfg), f, indent=True)
+
+    exp = build_experiment(cfg, text_embeddings=text_embeddings, seed=cfg.aux.seed)
+    dataset, test_ds = exp.dataset, exp.test_dataset
+    print("Train dataset", dataset)
+    print("Test dataset ", test_ds)
+    print(f"Buckets {exp.buckets}, seg_cap {exp.seg_cap}, pred_seg_cap {exp.s_pred_cap}")
+    print(f"Model parameters: {param_count(exp.params):,}")
+
+    trainloader = exp.train_loader(seed=cfg.aux.seed)
+    steps_per_epoch = len(trainloader)
+
+    params = exp.params
+    if ckpt_file is not None:
+        params = ckpt_io.load_params(params, ckpt_file)
+
+    state = create_train_state(exp.model, params, cfg, steps_per_epoch)
+    train_step, eval_step = make_step_fns(exp.model, cfg, dataset.nclasses, exp.cweight, exp.clip_bundle)
+
+    logger = Logger(cfg, cfg2flatdict(cfg))
+
+    base_rng = jax.random.PRNGKey(cfg.aux.seed)
+
+    def fresh_train_ckpt():
+        return Checkpoint(
+            -1,
+            bg_class=(dataset.bg_class if cfg.eval_bg else []),
+            eval_edit=False,
+            holdout_classes=test_ds.holdout_classes,
+            seen_classes=test_ds.seen_classes,
+        )
+
+    train_ckpt = fresh_train_ckpt()
+    best_ckpt, best_metric = None, 0.0
+
+    start_epoch = global_step // max(steps_per_epoch, 1)
+    print(f"Start Training from Epoch {start_epoch}...")
+    t_start = time.time()
+
+    for eidx in range(start_epoch, cfg.epoch):
+        for batch in trainloader:
+            rng = jax.random.fold_in(base_rng, global_step)
+            state, out = train_step(state, batch.device_arrays, rng)
+
+            extra = {k: out[k] for k in ("contrastive_loss",) if k in out}
+            video_saves = _collect_video_saves(
+                batch, out["pred"], np.asarray(out["per_video_loss"]), extra
+            )
+            save_results(train_ckpt, batch.vnames, batch.eval_labels, video_saves)
+
+            if (global_step + 1) % cfg.aux.print_every == 0:
+                train_ckpt.compute_metrics()
+                train_ckpt.average_losses()
+                log_dict = {}
+                loss_str = ", ".join(f"{k}:{v:.2f}" for k, v in train_ckpt.loss.items())
+                for k, v in train_ckpt.loss.items():
+                    log_dict[f"train-loss/{k}"] = v
+                for k, v in train_ckpt.metrics.items():
+                    log_dict["train-metric/" + k] = v
+                metr_str = ", ".join(f"{k}:{v:.3f}" for k, v in train_ckpt.metrics.items())
+                dt = time.time() - t_start
+                print(f"Iter{global_step + 1} [{dt:.0f}s], {loss_str}")
+                print(" " * 6 + metr_str)
+                logger.log(log_dict, step=global_step + 1)
+                train_ckpt = fresh_train_ckpt()
+
+            if global_step != 0 and (global_step + 1) % cfg.aux.eval_every == 0:
+                test_ckpt = evaluate(global_step, exp, eval_step, state.params, logger, savedir)
+                if test_ckpt.metrics["F1@0.50"] >= best_metric:
+                    best_ckpt = test_ckpt
+                    best_metric = test_ckpt.metrics["F1@0.50"]
+                ckpt_io.save_model(state.params, ckptdir, global_step + 1)
+
+            global_step += 1
+        # LR decay lives in the optimizer schedule (state.py)
+
+    if best_ckpt is not None:
+        print(f"Best Checkpoint: {best_ckpt.iteration}")
+        best_ckpt.eval_edit = True
+        best_ckpt.compute_metrics()
+        best_ckpt.save(os.path.join(logdir, "best_ckpt.gz"))
+    else:
+        print("No evaluation performed during training (best checkpoint not available)")
+
+    logger.finish()
+    ckpt_io.write_finish_proof(logdir)
+    return state, best_ckpt

@@ -407,7 +407,9 @@ class FACT(nn.Module):
             )
             saves_list.append(saves)
 
-        return saves_list
+        # final frame feature (with class probs in the trailing dims) — the
+        # CLIP head strips the probs and projects the rest (blocks.py:657-660)
+        return saves_list, frame_feature
 
 
 def build_fact(cfg, in_dim: int, n_classes: int, s_pred_cap: int) -> FACT:

@@ -107,14 +107,37 @@ def _o2m_host(cost: np.ndarray, transcript: np.ndarray, nsegs: np.ndarray) -> np
     return out
 
 
-def run_match(cost, transcript, seg_mask, mode: str):
+def resolve_matcher(matcher: str = "auto") -> str:
+    """'host' = scipy via pure_callback (needs callback support — CPU/GPU
+    backends); 'auction' = on-device solver (the TPU path; the deployment
+    PJRT rejects host callbacks inside compiled programs)."""
+    if matcher != "auto":
+        return matcher
+    return "host" if jax.default_backend() == "cpu" else "auction"
+
+
+def run_match(cost, transcript, seg_mask, mode: str, matcher: str = "auto", nclasses: int = None):
     """Dispatch to the solver; returns seg2tok (B, S) int32."""
     B, M, S = cost.shape
     if mode == "seq":
         # identity matching: token k <-> segment k (loss.py:121-126)
         return jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
 
+    matcher = resolve_matcher(matcher)
     nsegs = seg_mask.sum(axis=1).astype(jnp.int32)
+
+    if matcher == "auction":
+        from ..ops import assignment
+
+        if mode == "o2o":
+            return jax.vmap(assignment.auction_assign)(cost, seg_mask)
+        if mode == "o2m":
+            assert nclasses is not None, "o2m on device needs the class count"
+            return jax.vmap(lambda c, t, m: assignment.o2m_assign(c, t, m, nclasses))(
+                cost, transcript.astype(jnp.int32), seg_mask
+            )
+        raise ValueError(f"Unknown match mode {mode!r}")
+
     result_shape = jax.ShapeDtypeStruct((B, S), jnp.int32)
     if mode == "o2o":
         return jax.pure_callback(
@@ -128,7 +151,8 @@ def run_match(cost, transcript, seg_mask, mode: str):
     raise ValueError(f"Unknown match mode {mode!r}")
 
 
-def match(cfg_loss, action_cprob, a2f_attn, transcript, seg_label, seg_mask, frame_mask):
+def match(cfg_loss, action_cprob, a2f_attn, transcript, seg_label, seg_mask, frame_mask,
+          matcher: str = "auto", nclasses: int = None):
     """Full matching step: cost + solve.  All inputs batched."""
     if cfg_loss.match == "seq":
         B, S = transcript.shape
@@ -137,4 +161,4 @@ def match(cfg_loss, action_cprob, a2f_attn, transcript, seg_label, seg_mask, fra
         action_cprob, a2f_attn, transcript, seg_label, seg_mask, frame_mask,
         cfg_loss.pc, cfg_loss.a2fc,
     )
-    return run_match(cost, transcript, seg_mask, cfg_loss.match)
+    return run_match(cost, transcript, seg_mask, cfg_loss.match, matcher=matcher, nclasses=nclasses)

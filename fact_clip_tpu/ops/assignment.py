@@ -1,0 +1,145 @@
+"""On-device linear assignment via the Bertsekas auction algorithm.
+
+The TPU runtime in deployment does not support host callbacks from inside a
+compiled program, so the Hungarian matching of the reference
+(/root/reference/fact_clip/models/loss.py:146, scipy on host) is replaced on
+TPU by an epsilon-scaled Jacobi auction: all unassigned segments bid in
+parallel for their best token, prices rise, and the assignment converges to
+the optimal one within S*eps (exact for small final eps up to cost ties).
+Everything is dense (M x S <= ~300 x ~300) ``lax.while_loop`` arithmetic —
+microseconds on the MXU/VPU and fully jittable.
+
+Also provides the device formulation of the reference's greedy one-to-many
+matching (loss.py:155-193) built on the same auction core.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_NEG = -1e30
+
+
+def _auction_phase(value, col_valid, price, eps, max_iters):
+    """One epsilon phase. value: (M, S) to maximize; returns (seg_tok, price).
+
+    seg_tok[s] = token owned by segment s (-1 while unassigned).
+    """
+    M, S = value.shape
+    valueT = jnp.where(col_valid[:, None], value.T, _NEG)  # (S, M); invalid segs never win
+
+    def cond(carry):
+        seg_tok, tok_seg, price, it = carry
+        unassigned = (seg_tok < 0) & col_valid
+        return jnp.logical_and(unassigned.any(), it < max_iters)
+
+    def body(carry):
+        seg_tok, tok_seg, price, it = carry
+        net = valueT - price[None, :]  # (S, M)
+        best_idx = jnp.argmax(net, axis=1)
+        best_val = jnp.take_along_axis(net, best_idx[:, None], axis=1)[:, 0]
+        net2 = net.at[jnp.arange(S), best_idx].set(_NEG)
+        second_val = jnp.max(net2, axis=1)
+        bid = price[best_idx] + best_val - second_val + eps  # (S,)
+
+        bidding = (seg_tok < 0) & col_valid
+        tok_ids = jnp.arange(M)
+        bidmat = jnp.where(
+            bidding[None, :] & (best_idx[None, :] == tok_ids[:, None]), bid[None, :], _NEG
+        )  # (M, S)
+        win_val = bidmat.max(axis=1)
+        win_seg = jnp.argmax(bidmat, axis=1)
+        has_bid = win_val > _NEG / 2
+
+        price = jnp.where(has_bid, win_val, price)
+        prev_owner = tok_seg  # (M,)
+        # dispossess previous owners of tokens that received a bid
+        seg_tok = seg_tok.at[jnp.where(has_bid & (prev_owner >= 0), prev_owner, S)].set(
+            -1, mode="drop"
+        )
+        # assign winners
+        seg_tok = seg_tok.at[jnp.where(has_bid, win_seg, S)].set(tok_ids, mode="drop")
+        tok_seg = jnp.where(has_bid, win_seg, tok_seg)
+        return seg_tok, tok_seg, price, it + 1
+
+    seg_tok0 = jnp.full((S,), -1, jnp.int32)
+    tok_seg0 = jnp.full((M,), -1, jnp.int32)
+    seg_tok, _, price, _ = jax.lax.while_loop(
+        cond, body, (seg_tok0, tok_seg0, price, jnp.int32(0))
+    )
+    return seg_tok, price
+
+
+def auction_assign(cost, col_valid, eps_rel: float = 1e-3, max_iters: int = 50000):
+    """Minimize assignment cost. cost: (M, S); col_valid: (S,) bool.
+
+    Returns seg_tok (S,) int32 — a distinct token per valid segment
+    (0 for invalid segments).  Requires M >= number of valid segments.
+
+    A single phase with small epsilon from zero prices: suboptimality is
+    bounded by S * eps = S * eps_rel * spread; matching costs here live in
+    [-(pc + a2fc), 0], so this is far below the scale that changes training
+    targets, and empirically the assignment equals scipy's exactly.
+    """
+    M, S = cost.shape
+    value = -cost
+    spread = jnp.maximum(value.max() - value.min(), 1e-3)
+    price = jnp.zeros((M,), value.dtype)
+    eps = spread * eps_rel
+    seg_tok, price = _auction_phase(value, col_valid, price, eps, max_iters)
+
+    # safety net: sequentially place any still-unassigned segments on their
+    # best unassigned token (max_iters exhaustion is pathological)
+    taken = jnp.zeros((M,), bool).at[jnp.where(seg_tok >= 0, seg_tok, M)].set(True, mode="drop")
+
+    def place(i, carry):
+        seg_tok, taken = carry
+        need = (seg_tok[i] < 0) & col_valid[i]
+        avail = jnp.where(taken, _NEG, value[:, i])
+        pick = jnp.argmax(avail).astype(jnp.int32)
+        new_seg = jnp.where(need, pick, seg_tok[i])
+        seg_tok = seg_tok.at[i].set(new_seg)
+        taken = taken.at[jnp.where(need, pick, M)].set(True, mode="drop")
+        return seg_tok, taken
+
+    seg_tok, _ = jax.lax.fori_loop(0, S, place, (seg_tok, taken))
+    return jnp.maximum(seg_tok, 0)
+
+
+def o2m_assign(cost, transcript, col_valid, nclasses: int):
+    """Device version of the reference's one-to-many matching (loss.py:155-193).
+
+    Stage 1: optimal assignment between tokens and the *classes* present in
+    the transcript (column cost = sum of that class's segment costs); leftover
+    tokens take their cheapest present class.  Stage 2: each segment picks the
+    cheapest token of its class.
+
+    cost: (M, S); transcript: (S,) int; col_valid: (S,) bool.
+    Returns seg_tok (S,) int32.
+    """
+    M, S = cost.shape
+    onehot = jax.nn.one_hot(transcript, nclasses, dtype=cost.dtype) * col_valid[:, None]  # (S, C)
+    class_present = onehot.sum(0) > 0  # (C,)
+    class_cost = cost @ onehot  # (M, C)
+
+    tok_for_class = auction_assign(class_cost, class_present)  # (C,) token per present class
+
+    # token -> class table: matched tokens take their auction class,
+    # all other tokens take their cheapest present class
+    cheap = jnp.where(class_present[None, :], class_cost, jnp.inf).argmin(axis=1)  # (M,)
+    tok_class = cheap
+    class_ids = jnp.arange(nclasses)
+    tok_class = tok_class.at[jnp.where(class_present, tok_for_class, M)].set(
+        class_ids, mode="drop"
+    )
+
+    # stage 2: per segment, cheapest token among those of its class
+    same_class = tok_class[:, None] == transcript[None, :]  # (M, S)
+    masked = jnp.where(same_class, cost, jnp.inf)
+    seg_tok = masked.argmin(axis=0).astype(jnp.int32)
+    # a segment whose class won no token (cannot happen when M >= #classes,
+    # matching the reference's implicit assumption) falls back to global argmin
+    has_tok = same_class.any(axis=0)
+    seg_tok = jnp.where(has_tok, seg_tok, cost.argmin(axis=0).astype(jnp.int32))
+    return jnp.where(col_valid, seg_tok, 0)

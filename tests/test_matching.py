@@ -126,3 +126,60 @@ def test_match_under_jit_and_grad(rng):
     g = jax.jit(jax.grad(loss_fn))(params)
     assert np.isfinite(np.array(g["logit"])).all()
     assert np.isfinite(np.array(g["attn"])).all()
+
+
+# ------------------------------------------------------------ auction solver
+def test_auction_matches_scipy_optimal_cost(rng):
+    from fact_clip_tpu.ops import assignment
+
+    for trial in range(8):
+        M = int(rng.integers(5, 40))
+        S = int(rng.integers(1, M + 1))
+        cost = rng.normal(size=(M, S)).astype(np.float32)
+        col_valid = np.ones(S, bool)
+        seg_tok = np.array(jax.jit(assignment.auction_assign)(jnp.array(cost), jnp.array(col_valid)))
+        # valid permutation: distinct tokens
+        assert len(set(seg_tok.tolist())) == S
+        ours = cost[seg_tok, np.arange(S)].sum()
+        rows, cols = linear_sum_assignment(cost)
+        ref = cost[rows, cols].sum()
+        np.testing.assert_allclose(ours, ref, atol=1e-3, err_msg=f"trial {trial} M={M} S={S}")
+
+
+def test_auction_with_masked_columns(rng):
+    from fact_clip_tpu.ops import assignment
+
+    M, S = 10, 6
+    cost = rng.normal(size=(M, S)).astype(np.float32)
+    col_valid = np.array([1, 1, 1, 0, 0, 0], bool)
+    seg_tok = np.array(assignment.auction_assign(jnp.array(cost), jnp.array(col_valid)))
+    rows, cols = linear_sum_assignment(cost[:, :3])
+    expected = np.zeros(3, np.int64)
+    expected[cols] = rows
+    ours = cost[seg_tok[:3], np.arange(3)].sum()
+    ref = cost[expected, np.arange(3)].sum()
+    np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+def test_o2m_device_matches_host(rng):
+    from fact_clip_tpu.ops import assignment
+
+    nclasses = 6
+    for trial in range(6):
+        M, S = 8, 5
+        cost = rng.normal(size=(1, M, S)).astype(np.float32)
+        transcript = rng.integers(0, nclasses, size=(1, S)).astype(np.int32)
+        nsegs = np.array([S], np.int32)
+        host = matching._o2m_host(cost, transcript, nsegs)
+        dev = np.array(
+            assignment.o2m_assign(jnp.array(cost[0]), jnp.array(transcript[0]), jnp.ones(S, bool), nclasses)
+        )
+        # stage-1 auction may differ from scipy on ties; compare achieved cost
+        host_cost = cost[0][host[0], np.arange(S)].sum()
+        dev_cost = cost[0][dev, np.arange(S)].sum()
+        # device assignment must respect class grouping like the host one
+        tok_class = {}
+        for s in range(S):
+            c = transcript[0, s]
+            assert tok_class.setdefault(dev[s], c) == c
+        assert dev_cost <= host_cost + 1e-3

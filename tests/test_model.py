@@ -78,7 +78,7 @@ def _forward(cfg, batch, C=5, D=12, s_pred_cap=24, train=False, seed=0):
         batch["seg_mask"] if cfg.FACT.trans else None,
         train=False,
     )
-    saves = model.apply(
+    saves, _ = model.apply(
         params, batch["feats"], batch["mask"], batch["lengths"],
         batch["transcript"] if cfg.FACT.trans else None,
         batch["seg_mask"] if cfg.FACT.trans else None,
@@ -127,7 +127,7 @@ def test_forward_padding_invariance(rng):
     solo = {k: (v[1:2, :t] if v.ndim > 1 and v.shape[1] == 48 else v[1:2]) for k, v in batch.items()}
     solo["transcript"] = batch["transcript"][1:2]
     solo["seg_mask"] = batch["seg_mask"][1:2]
-    saves_solo = model.apply(
+    saves_solo, _ = model.apply(
         params, solo["feats"], solo["mask"], solo["lengths"], None, None, train=False
     )
     for blk, (s_batch, s_solo) in enumerate(zip(saves, saves_solo)):
@@ -164,7 +164,7 @@ def test_loss_finite_and_padding_invariant(rng):
         "transcript": batch["transcript"][1:2], "seg_mask": batch["seg_mask"][1:2],
         "lengths": batch["lengths"][1:2],
     }
-    saves_solo = model.apply(
+    saves_solo, _ = model.apply(
         params, solo_batch["feats"], solo_batch["mask"], solo_batch["lengths"], None, None, train=False
     )
     cprob_s = jax.nn.softmax(saves_solo[-1]["action_clogit"], -1)
@@ -186,7 +186,7 @@ def test_grad_flows(rng):
     cweight = jnp.array(losses.build_class_weights(cfg, 5, [0]))
 
     def loss_fn(p):
-        saves = model.apply(p, batch["feats"], batch["mask"], batch["lengths"], train=False)
+        saves, _ = model.apply(p, batch["feats"], batch["mask"], batch["lengths"], train=False)
         cprob = jax.nn.softmax(saves[-1]["action_clogit"], -1)
         seg2tok = matching.match(
             cfg.Loss, cprob, saves[-1]["a2f_attn"], batch["transcript"], batch["seg_label"],
@@ -244,7 +244,7 @@ def test_transcript_mode_forward(rng):
         {"params": jax.random.PRNGKey(0)},
         batch["feats"], batch["mask"], batch["lengths"], batch["transcript"], batch["seg_mask"], train=False,
     )
-    saves = model.apply(
+    saves, _ = model.apply(
         params, batch["feats"], batch["mask"], batch["lengths"], batch["transcript"], batch["seg_mask"], train=False
     )
     S = batch["transcript"].shape[1]

@@ -1,0 +1,93 @@
+import os
+
+import numpy as np
+import pytest
+
+from fact_clip_tpu.configs.default import get_cfg_defaults
+from fact_clip_tpu.data.synthetic import make_fixture_dataset
+from fact_clip_tpu.engine.train_loop import run_train
+
+
+@pytest.fixture(scope="module")
+def fixture_base(tmp_path_factory):
+    root = tmp_path_factory.mktemp("smoke")
+    make_fixture_dataset(
+        str(root), name="gtea", n_classes=5, n_train=6, n_test=3,
+        feat_dim=16, min_len=80, max_len=200, min_segs=3, max_segs=5, class_sep=3.0,
+    )
+    return str(root)
+
+
+def smoke_cfg(base, block="iuU"):
+    cfg = get_cfg_defaults()
+    cfg.dataset = "gtea"
+    ds_base = os.path.join(base, "data", "gtea")
+    cfg.feature_path = os.path.join(ds_base, "features")
+    cfg.groundTruth_path = os.path.join(ds_base, "groundTruth")
+    cfg.map_fname = os.path.join(ds_base, "mapping.txt")
+    cfg.split_path = os.path.join(ds_base, "splits")
+    cfg.feature_transpose = True
+    cfg.bg_class = 0
+    cfg.average_transcript_len = 4.0
+
+    cfg.FACT.block = block
+    cfg.FACT.ntoken = 10
+    cfg.FACT.fpos = False
+    cfg.FACT.cmr = 0.0
+    cfg.FACT.mwt = 0.3
+    cfg.Bi.hid_dim = 48
+    cfg.Bi.a_dim = 24
+    cfg.Bi.a_ffdim = 48
+    cfg.Bi.a_layers = 2
+    cfg.Bi.a_nhead = 4
+    cfg.Bi.f = "m"
+    cfg.Bi.f_dim = 32
+    cfg.Bi.f_layers = 4
+    cfg.Bi.f_ln = False
+    cfg.Bi.f_ngp = 1
+    cfg.Bi.dropout = 0.1
+    cfg.Bu.f_layers = 3
+    cfg.BU.f_layers = 3
+    cfg.Loss.sw = 1.0
+    cfg.Loss.pc = 0.2
+    cfg.TM.use = False
+
+    cfg.batch_size = 3
+    cfg.optimizer = "Adam"
+    cfg.lr = 0.002
+    cfg.epoch = 40
+    cfg.aux.print_every = 20
+    cfg.aux.eval_every = 40
+    cfg.aux.resume = ""
+    cfg.aux.logdir = "log/smoke"
+    cfg.aux.exp = "smoke"
+    cfg.TPU.bucket_multiple = 64
+    return cfg
+
+
+def test_training_learns_and_checkpoints(fixture_base, tmp_path):
+    cfg = smoke_cfg(fixture_base)
+    state, best_ckpt = run_train(cfg, base_dir=str(tmp_path))
+
+    logdir = os.path.join(str(tmp_path), cfg.aux.logdir)
+    assert os.path.exists(os.path.join(logdir, "FINISH_PROOF"))
+    assert os.path.exists(os.path.join(logdir, "args.json"))
+    ckpts = os.listdir(os.path.join(logdir, "ckpts"))
+    assert any(f.startswith("network.iter-") for f in ckpts)
+
+    assert best_ckpt is not None
+    m = best_ckpt.metrics
+    # the fixture is nearly linearly separable: a learning model clears this easily
+    assert m["AccB"] > 60.0, m
+    assert np.isfinite(m["F1@0.50"])
+
+
+def test_finish_proof_skips_rerun(fixture_base, tmp_path):
+    cfg = smoke_cfg(fixture_base)
+    cfg.epoch = 1
+    cfg.aux.eval_every = 10**9
+    run_train(cfg, base_dir=str(tmp_path))
+    cfg2 = smoke_cfg(fixture_base)
+    cfg2.aux.resume = "max"
+    with pytest.raises(SystemExit):
+        run_train(cfg2, base_dir=str(tmp_path))
