@@ -153,7 +153,11 @@ def test_eval_loader_covers_all_once(fixture_dir):
     asm = BatchAssembler(test_ds, seg_cap, buckets)
     loader = EvalLoader(test_ds, batch_size=3, assembler=asm)
     seen = [v for b in loader for v in b.vnames]
-    assert sorted(seen) == sorted(test_ds.get_vnames())
+    # tail batches are padded by repeating the last video (static shapes);
+    # coverage is what matters
+    assert set(seen) == set(test_ds.get_vnames())
+    for b in loader:
+        assert len(b.vnames) == 3
 
 
 def test_seg_cap_violation(fixture_dir):
