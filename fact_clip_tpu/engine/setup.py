@@ -86,7 +86,8 @@ def build_experiment(cfg, text_embeddings: np.ndarray | None = None, seed: int =
     if use_clip:
         from ..models.clip_model import build_fact_clip
 
-        model = build_fact_clip(cfg, dataset.input_dimension, dataset.nclasses, s_pred_cap)
+        clip_dim = int(text_embeddings.shape[1]) if text_embeddings is not None else 512
+        model = build_fact_clip(cfg, dataset.input_dimension, dataset.nclasses, s_pred_cap, clip_dim)
     else:
         model = build_fact(cfg, dataset.input_dimension, dataset.nclasses, s_pred_cap)
 

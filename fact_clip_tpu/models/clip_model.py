@@ -38,11 +38,11 @@ class FACTCLIP(nn.Module):
         return saves_list, frame_emb
 
 
-def build_fact_clip(cfg, in_dim: int, n_classes: int, s_pred_cap: int) -> FACTCLIP:
+def build_fact_clip(cfg, in_dim: int, n_classes: int, s_pred_cap: int, clip_dim: int = 512) -> FACTCLIP:
     return FACTCLIP(
         fact=build_fact(cfg, in_dim, n_classes, s_pred_cap),
         n_classes=n_classes,
-        clip_dim=512,
+        clip_dim=clip_dim,
         projection_hidden_dim=cfg.CLIP.projection_hidden_dim,
         projection_dropout=cfg.CLIP.projection_dropout,
     )
