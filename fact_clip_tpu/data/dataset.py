@@ -178,8 +178,12 @@ def _apply_cfg_overrides(paths: dict, cfg) -> dict:
     if cfg.map_fname:
         paths["map_fname"] = cfg.map_fname
     if cfg.split_path:
-        paths["train_split"] = os.path.join(cfg.split_path, f"train.{cfg.split}.bundle")
-        paths["test_split"] = os.path.join(cfg.split_path, f"test.{cfg.split}.bundle")
+        if cfg.dataset in ("epic", "ego"):
+            paths["train_split"] = os.path.join(cfg.split_path, f"{cfg.split}.train")
+            paths["test_split"] = os.path.join(cfg.split_path, f"{cfg.split}.test")
+        else:
+            paths["train_split"] = os.path.join(cfg.split_path, f"train.{cfg.split}.bundle")
+            paths["test_split"] = os.path.join(cfg.split_path, f"test.{cfg.split}.bundle")
     if cfg.bg_class is not None:
         bg = cfg.bg_class
         paths["bg_class"] = list(bg) if isinstance(bg, (list, tuple)) else [bg]

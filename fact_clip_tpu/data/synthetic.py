@@ -84,3 +84,47 @@ def make_fixture_dataset(
             f.write(v + ".txt\n")
 
     return base
+
+
+def make_epic_fixture(
+    root: str,
+    n_verbs: int = 4,
+    n_nouns: int = 5,
+    n_actions: int = 8,
+    split: str = "split1",
+    seed: int = 0,
+    **kwargs,
+):
+    """Epic-Kitchens-style fixture: action classes are ``verb,noun`` pairs
+    plus verb_mapping.txt / noun_mapping.txt, ego-style split files
+    (``<split>.train`` / ``<split>.test``), features not transposed."""
+    rng = np.random.default_rng(seed + 1)
+    verbs = [f"verb{v}" for v in range(n_verbs)]
+    nouns = [f"noun{n}" for n in range(n_nouns)]
+    pairs = [(0, 0)]  # background-ish action
+    seen = {(0, 0)}
+    while len(pairs) < n_actions:
+        p = (int(rng.integers(0, n_verbs)), int(rng.integers(0, n_nouns)))
+        if p not in seen:
+            seen.add(p)
+            pairs.append(p)
+    label_names = [f"{verbs[v]},{nouns[n]}" for v, n in pairs]
+
+    base = make_fixture_dataset(
+        root, name="epic-kitchens/processed", n_classes=n_actions, split=split, seed=seed,
+        transpose=False, label_names=label_names, **kwargs,
+    )
+    with open(os.path.join(base, "verb_mapping.txt"), "w") as f:
+        for i, v in enumerate(verbs):
+            f.write(f"{i} {v}\n")
+    with open(os.path.join(base, "noun_mapping.txt"), "w") as f:
+        for i, n in enumerate(nouns):
+            f.write(f"{i} {n}\n")
+    # epic/ego split naming: <split>.train / <split>.test, no .txt suffixes
+    for kind in ("train", "test"):
+        src = os.path.join(base, "splits", f"{kind}.{split}.bundle")
+        with open(src) as f:
+            names = [l[:-len(".txt")] if l.endswith(".txt") else l for l in f.read().splitlines()]
+        with open(os.path.join(base, f"{split}.{kind}"), "w") as f:
+            f.write("\n".join(names) + "\n")
+    return base

@@ -8,6 +8,7 @@ and (for FACT_CLIP) the text-embedding bundle — the part of
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,7 @@ class Experiment:
     clip_bundle: dict | None
     assembler: BatchAssembler
     test_assembler: BatchAssembler
+    verbnoun: bool = False
 
     def train_loader(self, seed=0):
         return TrainLoader(self.dataset, self.cfg.batch_size, self.assembler, seed=seed)
@@ -83,11 +85,27 @@ def build_experiment(cfg, text_embeddings: np.ndarray | None = None, seed: int =
         holdout = cfg.holdout_classes if cfg.holdout_mode else []
         clip_bundle = build_clip_bundle(cfg, text_embeddings, holdout)
 
+    verbnoun = cfg.dataset == "epic" and not use_clip
     if use_clip:
         from ..models.clip_model import build_fact_clip
 
         clip_dim = int(text_embeddings.shape[1]) if text_embeddings is not None else 512
         model = build_fact_clip(cfg, dataset.input_dimension, dataset.nclasses, s_pred_cap, clip_dim)
+    elif verbnoun:
+        from ..models.verbnoun import build_verbnoun_fact, load_vids_nids
+
+        from ..home import get_project_base
+
+        processed_dir = (
+            os.path.dirname(cfg.map_fname) if cfg.map_fname
+            else get_project_base() + "data/epic-kitchens/processed"
+        )
+        vids, nids = load_vids_nids(processed_dir)
+        n1 = int(vids.max()) + 1
+        n2 = int(nids.max()) + 1
+        model = build_verbnoun_fact(
+            cfg, dataset.input_dimension, vids, nids, s_pred_cap, n_classes1=n1, n_classes2=n2
+        )
     else:
         model = build_fact(cfg, dataset.input_dimension, dataset.nclasses, s_pred_cap)
 
@@ -115,5 +133,5 @@ def build_experiment(cfg, text_embeddings: np.ndarray | None = None, seed: int =
         cfg=cfg, dataset=dataset, test_dataset=test_dataset, buckets=buckets,
         seg_cap=seg_cap, s_pred_cap=s_pred_cap, model=model, params=params,
         cweight=cweight, clip_bundle=clip_bundle,
-        assembler=assembler, test_assembler=test_assembler,
+        assembler=assembler, test_assembler=test_assembler, verbnoun=verbnoun,
     )

@@ -23,7 +23,7 @@ def _model_kwargs(batch, trans: bool):
     return dict(transcript=None, seg_mask=None)
 
 
-def make_step_fns(model, cfg, nclasses: int, cweight, clip_bundle=None):
+def make_step_fns(model, cfg, nclasses: int, cweight, clip_bundle=None, verbnoun: bool = False):
     """Build (train_step, eval_step).
 
     clip_bundle: optional dict for FACT_CLIP with keys
@@ -31,6 +31,7 @@ def make_step_fns(model, cfg, nclasses: int, cweight, clip_bundle=None):
       seen_text_emb   (n_seen, 512) seen-class embeddings (training loss)
       label_map       (n,) global->seen-subset index or -1 (holdout remap)
       temp, fact_w, cont_w
+    verbnoun: the epic factored-head model (log-prob saves, its own losses).
     """
     trans = bool(cfg.FACT.trans)
     mwt = float(cfg.FACT.mwt)
@@ -41,6 +42,15 @@ def make_step_fns(model, cfg, nclasses: int, cweight, clip_bundle=None):
 
     def _decode(saves, batch, frame_emb):
         last = saves[-1]
+        if verbnoun:
+            token_mask = batch["seg_mask"] if trans else jnp.ones(last["action_logp"].shape[:2], bool)
+            if trans:
+                return decode.decode_transcript_attn_only(
+                    batch["transcript"], batch["seg_mask"], last["a2f_attn"]
+                )
+            return decode.decode_two_branch_logp(
+                last["action_logp"], last["a2f_attn"], last["frame_logp"], mwt, token_mask
+            )
         token_mask = batch["seg_mask"] if trans else jnp.ones(last["action_clogit"].shape[:2], bool)
         if trans:
             return decode.decode_with_transcript(
@@ -59,7 +69,10 @@ def make_step_fns(model, cfg, nclasses: int, cweight, clip_bundle=None):
 
     def _match(saves, batch):
         last = saves[-1]
-        cprob = jax.nn.softmax(last["action_clogit"], axis=-1)
+        if verbnoun:
+            cprob = jnp.exp(last["action_logp"])
+        else:
+            cprob = jax.nn.softmax(last["action_clogit"], axis=-1)
         return matching.match(
             loss_cfg, cprob, last["a2f_attn"], batch["transcript"], batch["seg_label"],
             batch["seg_mask"], batch["mask"], matcher=matcher, nclasses=nclasses,
@@ -68,7 +81,10 @@ def make_step_fns(model, cfg, nclasses: int, cweight, clip_bundle=None):
     def _loss(saves, batch, frame_emb):
         seg2tok = _match(saves, batch)
         token_mask = batch["seg_mask"] if trans else None
-        per_video = losses.fact_loss(saves, batch, seg2tok, cweight, sw, token_mask=token_mask)
+        if verbnoun:
+            per_video = losses.verbnoun_fact_loss(saves, batch, seg2tok, cweight, sw)
+        else:
+            per_video = losses.fact_loss(saves, batch, seg2tok, cweight, sw, token_mask=token_mask)
         aux = {"fact_loss": per_video}
         if use_clip:
             labels = clip_bundle["label_map"][batch["labels"]]  # remap to seen subset

@@ -110,7 +110,9 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
         params = ckpt_io.load_params(params, ckpt_file)
 
     state = create_train_state(exp.model, params, cfg, steps_per_epoch)
-    train_step, eval_step = make_step_fns(exp.model, cfg, dataset.nclasses, exp.cweight, exp.clip_bundle)
+    train_step, eval_step = make_step_fns(
+        exp.model, cfg, dataset.nclasses, exp.cweight, exp.clip_bundle, verbnoun=exp.verbnoun
+    )
 
     logger = Logger(cfg, cfg2flatdict(cfg))
 

@@ -62,6 +62,40 @@ def decode_with_transcript(transcript, seg_mask, a2f_attn, frame_clogit, weight:
     return jnp.take_along_axis(transcript, idx, axis=1)
 
 
+def decode_two_branch_logp(action_logp, a2f_attn, frame_logp, weight: float, token_mask):
+    """Verb/noun variant of the two-branch decode
+    (blocks_SepVerbNoun.py:323-342): inputs are composed action
+    log-probabilities; token probs are exp(logp) renormalized over non-null.
+    """
+    fbranch = jnp.exp(frame_logp)  # (B, T, C)
+    null_id = action_logp.shape[-1] - 1
+    qtk_cpred = jnp.argmax(action_logp, axis=-1)
+    nonnull = (qtk_cpred != null_id) & token_mask
+    has_action = nonnull.any(axis=1)
+
+    qtk_prob = jnp.exp(action_logp[..., :-1])
+    qtk_prob = qtk_prob / jnp.maximum(qtk_prob.sum(axis=-1, keepdims=True), 1e-12)
+
+    neg = jnp.asarray(-jnp.inf, a2f_attn.dtype)
+    attn_masked = jnp.where(nonnull[:, None, :], a2f_attn, neg)
+    act_idx = jnp.argmax(attn_masked, axis=-1)
+    abranch = jax.vmap(lambda qp, ai: qp[ai])(qtk_prob, act_idx)
+
+    prob = (1.0 - weight) * abranch + weight * fbranch
+    pred = jnp.argmax(prob, axis=-1)
+    fallback = jnp.argmax(fbranch, axis=-1)
+    return jnp.where(has_action[:, None], pred, fallback)
+
+
+def decode_transcript_attn_only(transcript, seg_mask, a2f_attn):
+    """Verb/noun transcript decode (blocks_SepVerbNoun.py:344-349):
+    pure argmax over the transcript's attention columns."""
+    neg = jnp.asarray(-jnp.inf, a2f_attn.dtype)
+    attn = jnp.where(seg_mask[:, None, :], a2f_attn, neg)
+    idx = jnp.argmax(attn, axis=-1)
+    return jnp.take_along_axis(transcript, idx, axis=1)
+
+
 def decode_with_clip(action_clogit, a2f_attn, frame_emb, text_emb, temp: float,
                      weight: float, token_mask):
     """Zero-shot decode: CLIP cosine-similarity softmax *replaces* the frame

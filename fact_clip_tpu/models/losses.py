@@ -113,28 +113,46 @@ def f2a_attn_loss(logits_m2r, seg2tok, seg_mask, row_mask, Y, sweight):
     return loss / jnp.maximum(norm, 1e-12)
 
 
-def frame_loss(frame_clogit, labels, frame_mask, cweight):
+def frame_loss(frame_clogit, labels, frame_mask, cweight, is_logit=True):
     """Class-weighted CE on frame logits, normalized by frame count
     (loss.py:246-258)."""
     C = frame_clogit.shape[-1]
-    logp = jax.nn.log_softmax(frame_clogit, axis=-1)
+    logp = jax.nn.log_softmax(frame_clogit, axis=-1) if is_logit else frame_clogit
     ce = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
     w = cweight[:C][labels]
     m = frame_mask.astype(ce.dtype)
     return (ce * w * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1e-12)
 
 
-def frame_loss_tdu(seg_clogit, P, labels, cweight):
+def frame_loss_tdu(seg_clogit, P, labels, cweight, is_logit=True):
     """Weighted CE on length-normalized pooled labels (loss.py:260-277)."""
     C = seg_clogit.shape[-1]
     onehot = jax.nn.one_hot(labels, C, dtype=jnp.float32)
     pooled = jnp.einsum("bts,btc->bsc", P, onehot)
     lens = P.sum(axis=1)  # (B, S_pred)
     zoomed = pooled / jnp.maximum(lens, 1.0)[..., None]
-    logp = jax.nn.log_softmax(seg_clogit, axis=-1)
+    logp = jax.nn.log_softmax(seg_clogit, axis=-1) if is_logit else seg_clogit
     loss = -(logp * zoomed * cweight[:C]).sum(axis=(1, 2))
     norm = zoomed.sum(axis=(1, 2))
     return loss / jnp.maximum(norm, 1e-12)
+
+
+def verbnoun_action_token_loss(action_logp, seg2tok, transcript, seg_mask, cweight):
+    """Multi-hot token loss of the verb/noun model
+    (blocks_SepVerbNoun.py:271-283): default target = null class, matched
+    tokens target their segment's action class; mean over tokens."""
+    B, M, C1 = action_logp.shape
+    null_id = C1 - 1
+    clabel = jnp.zeros((B, M, C1), jnp.float32).at[:, :, null_id].set(1.0)
+    idx = jnp.where(seg_mask, seg2tok, M)
+    # clear matched rows, then set the matched class
+    clabel = clabel.at[jnp.arange(B)[:, None], idx, null_id].set(0.0, mode="drop")
+    val = jnp.where(seg_mask, transcript, 0).astype(jnp.int32)
+    clabel = clabel.at[jnp.arange(B)[:, None], idx, val].set(
+        jnp.where(seg_mask, 1.0, 0.0), mode="drop"
+    )
+    loss = ((-action_logp * clabel) * cweight).sum(axis=-1)
+    return loss.mean(axis=1)
 
 
 def smooth_loss(logits, pair_mask, col_mask=None, is_logit=True):
@@ -218,6 +236,46 @@ def fact_loss(saves_list, batch, seg2tok, cweight_arr, sw: float, token_mask=Non
     per_block = [
         block_loss(s, batch, seg2tok, cweight_arr, sw, token_mask=token_mask) for s in saves_list
     ]
+    return sum(per_block) / len(per_block)
+
+
+def verbnoun_block_loss(saves: dict, batch: dict, seg2tok, cweight_arr, sw: float):
+    """Per-video loss of one verb/noun block
+    (blocks_SepVerbNoun.py:400-413, 484-496).  All clogit-like inputs are
+    combined action log-probabilities (is_logit=False paths)."""
+    labels = batch["labels"]
+    frame_mask = batch["mask"]
+    seg_label = batch["seg_label"]
+    transcript = batch["transcript"]
+    seg_mask = batch["seg_mask"]
+
+    sweight = jnp.where(seg_mask, cweight_arr[transcript], 0.0)
+    pair_mask = frame_mask[:, 1:] & frame_mask[:, :-1]
+    P = saves["tdu_P"]
+    seg_valid = saves["tdu_seg_valid"]
+
+    fl = frame_loss(saves["frame_logp"], labels, frame_mask, cweight_arr, is_logit=False) / 2.0
+    seg_l = frame_loss_tdu(saves["seg_logp"], P, labels, cweight_arr, is_logit=False) / 2.0
+    atk = verbnoun_action_token_loss(saves["action_logp"], seg2tok, transcript, seg_mask, cweight_arr) / 2.0
+    sl = smooth_loss(saves["frame_logp"], pair_mask, is_logit=False)
+
+    if saves["kind"] == "I":
+        return (fl + seg_l) / 2.0 + atk + sw * sl
+
+    # 'U' verb/noun block adds the segment-granularity cross-attention losses
+    S_gt = seg_mask.shape[1]
+    onehot_gt = jax.nn.one_hot(seg_label, S_gt, dtype=jnp.float32) * frame_mask[..., None]
+    pooled = jnp.einsum("btp,bts->bps", P, onehot_gt)
+    lens = P.sum(axis=1)
+    Y = pooled / jnp.maximum(lens, 1.0)[..., None]
+    Y = Y * seg_mask[:, None, :]
+    f2a = f2a_attn_loss(saves["f2a_attn_logit"], seg2tok, seg_mask, seg_valid, Y, sweight)
+    a2f = a2f_attn_loss(saves["a2f_attn_logit"], seg2tok, seg_mask, Y, sweight)
+    return (fl + seg_l) / 2.0 + atk + f2a + a2f + sw * sl
+
+
+def verbnoun_fact_loss(saves_list, batch, seg2tok, cweight_arr, sw: float):
+    per_block = [verbnoun_block_loss(s, batch, seg2tok, cweight_arr, sw) for s in saves_list]
     return sum(per_block) / len(per_block)
 
 

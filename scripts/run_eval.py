@@ -89,6 +89,8 @@ if __name__ == "__main__":
     params = ckpt_io.load_params(exp.params, args.ckpt_file)
     print("Checkpoint loaded.")
 
-    _, eval_step = make_step_fns(exp.model, cfg, exp.dataset.nclasses, exp.cweight, exp.clip_bundle)
+    _, eval_step = make_step_fns(
+        exp.model, cfg, exp.dataset.nclasses, exp.cweight, exp.clip_bundle, verbnoun=exp.verbnoun
+    )
     savedir = os.path.join(os.path.dirname(args.ckpt_file), "../eval_results")
     evaluate(exp, eval_step, params, savedir)
