@@ -1,0 +1,48 @@
+"""Device mesh construction and sharding helpers.
+
+The scale-out strategy for this model family (SURVEY.md §2.6): pure data
+parallelism over the ``data`` axis (the model is <50M params — gradients are
+all-reduced over ICI by XLA automatically once inputs are sharded and params
+replicated), plus an optional ``seq`` axis for time-sharding very long videos
+(parallel/seqpar.py).  No NCCL/MPI-style backend: placement + jit is the
+entire distribution story.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int = -1, n_seq: int = 1, devices=None,
+              data_axis: str = "data", seq_axis: str = "seq") -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None or n_data <= 0:
+        n_data = len(devices) // n_seq
+    need = n_data * n_seq
+    assert need <= len(devices), f"mesh {n_data}x{n_seq} needs {need} devices, have {len(devices)}"
+    arr = np.array(devices[:need]).reshape(n_data, n_seq)
+    return Mesh(arr, (data_axis, seq_axis))
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, arrays: dict, data_axis: str = "data") -> dict:
+    """Place a dict of batch arrays with the batch dim sharded over ``data``."""
+    sh = batch_sharding(mesh, data_axis)
+    return {k: jax.device_put(v, sh) for k, v in arrays.items()}
+
+
+def replicate_tree(mesh: Mesh, tree):
+    """Replicate a pytree (params / optimizer state) across the mesh."""
+    sh = replicated(mesh)
+    return jax.device_put(tree, sh)
