@@ -146,6 +146,10 @@ def _to_plain_dict(node: CfgNode) -> dict:
 
 def _coerce_value(new: Any, old: Any, full_key: str) -> Any:
     """Coerce a (possibly string) override value to the type of the default."""
+    if new == "None" and not isinstance(old, str):
+        # PyYAML parses bare ``None`` as the string "None"; some reference
+        # YAMLs (e.g. gtea_transcript.yaml) spell null that way
+        return None
     if isinstance(new, str) and not isinstance(old, str):
         new = yaml.safe_load(new)
     if old is None or new is None:

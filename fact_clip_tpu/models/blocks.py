@@ -55,10 +55,12 @@ class BlockCfg:
     f_dim: int
     f_ngp: int
     s_layers: int = 1
+    pallas: bool = False
 
 
-def _block_cfg_from(node, kind: str) -> BlockCfg:
+def _block_cfg_from(node, kind: str, pallas: bool = False) -> BlockCfg:
     return BlockCfg(
+        pallas=pallas,
         kind=kind,
         hid_dim=node.hid_dim,
         dropout=float(node.dropout),
@@ -76,22 +78,32 @@ def _block_cfg_from(node, kind: str) -> BlockCfg:
     )
 
 
+def _want_pallas(cfg) -> bool:
+    """Pallas kernels run on the TPU backend only (Mosaic lowering)."""
+    if "TPU" not in cfg or not cfg.TPU.pallas:
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def resolve_block_cfgs(cfg) -> Tuple[BlockCfg, ...]:
     """Sequential Bi -> Bu -> BU None-inheritance (blocks.py:36-52)."""
     cfg = cfg.clone()
+    pallas = _want_pallas(cfg)
     base = cfg.Bi
     out = []
     for t in cfg.FACT.block:
         if t in ("i", "I"):
-            out.append(_block_cfg_from(cfg.Bi, t))
+            out.append(_block_cfg_from(cfg.Bi, t, pallas))
         elif t == "u":
             update_from(cfg.Bu, base, inplace=True)
             base = cfg.Bu
-            out.append(_block_cfg_from(cfg.Bu, t))
+            out.append(_block_cfg_from(cfg.Bu, t, pallas))
         elif t == "U":
             update_from(cfg.BU, base, inplace=True)
             base = cfg.BU
-            out.append(_block_cfg_from(cfg.BU, t))
+            out.append(_block_cfg_from(cfg.BU, t, pallas))
         else:
             raise ValueError(f"Unknown block type {t!r}")
     return tuple(out)
@@ -119,7 +131,8 @@ def make_fbranch(c: BlockCfg, in_dim: Optional[int], name: str):
     if c.f == "m":
         return L.MSTCN(
             in_dim=in_dim, hid_dim=c.f_dim, out_dim=c.hid_dim, num_layers=c.f_layers,
-            dropout=c.dropout, ln=c.f_ln, ngroup=c.f_ngp, in_map=f_inmap, name=name,
+            dropout=c.dropout, ln=c.f_ln, ngroup=c.f_ngp, in_map=f_inmap,
+            use_pallas=c.pallas, name=name,
         )
     if c.f == "m2":
         return L.MSTCN2(

@@ -135,6 +135,9 @@ class DilatedResidualLayer(nn.Module):
 
     Matches basic.py:131-171.  Padded frames are zeroed on input so valid
     frames near the boundary see zero padding exactly like the B=1 reference.
+
+    With ``use_pallas`` (inference path, ungrouped), all five stages run in
+    one fused Pallas kernel (ops/pallas/dilated_conv.py).
     """
 
     dilation: int
@@ -142,20 +145,39 @@ class DilatedResidualLayer(nn.Module):
     dropout: float = 0.5
     layernorm: bool = True
     ngroup: int = 1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
         C, g = self.nchannels, self.ngroup
         kernel = self.param("conv_dilated_kernel", torch_conv_init, (3, C // g, C))
         kbias = self.param("conv_dilated_bias", uniform_init(1.0 / math.sqrt(3 * C // g)), (C,))
+        w1 = self.param("conv_1x1_kernel", torch_linear_kernel_init, (C, C))
+        b1 = self.param("conv_1x1_bias", torch_linear_bias_init(C), (C,))
+        if self.layernorm:
+            gamma = self.param("ln_scale", nn.initializers.ones, (C,))
+            beta = self.param("ln_bias", nn.initializers.zeros, (C,))
 
         xm = x * mask[:, :, None]
+
+        if self.use_pallas and deterministic and g == 1:
+            from ..ops.pallas.dilated_conv import dilated_residual_layer
+
+            return dilated_residual_layer(
+                xm, kernel, kbias, w1, b1,
+                gamma if self.layernorm else jnp.ones((C,), x.dtype),
+                beta if self.layernorm else jnp.zeros((C,), x.dtype),
+                dilation=self.dilation, use_ln=self.layernorm,
+            )
+
         out = jax.nn.relu(_dilated_conv(xm, kernel, kbias, self.dilation, g))
-        out = TorchDense(C)(out)  # the 1x1 conv is a pointwise dense
+        out = out @ w1 + b1  # the 1x1 conv is a pointwise dense
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         x = xm + out
         if self.layernorm:
-            x = nn.LayerNorm(epsilon=1e-5)(x)
+            mean = x.mean(axis=-1, keepdims=True)
+            var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+            x = (x - mean) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
         return x
 
 
@@ -171,6 +193,7 @@ class MSTCN(nn.Module):
     ln: bool = True
     ngroup: int = 1
     in_map: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
@@ -185,6 +208,7 @@ class MSTCN(nn.Module):
                 dropout=self.dropout,
                 layernorm=self.ln,
                 ngroup=self.ngroup,
+                use_pallas=self.use_pallas,
             )(x, mask, deterministic)
         return TorchDense(self.out_dim)(x)
 
