@@ -15,8 +15,23 @@ import numpy as np
 
 
 def load_feature(feature_dir: str, video: str, transpose: bool) -> np.ndarray:
-    """Load a (T, D) float32 feature array for one video."""
-    feature = np.load(os.path.join(feature_dir, video + ".npy"))
+    """Load a (T, D) float32 feature array for one video.
+
+    Uses the native C++ reader (fused parse + cast + transpose, data/native.py)
+    when the library is built; NumPy otherwise.
+    """
+    path = os.path.join(feature_dir, video + ".npy")
+    try:
+        from . import native
+
+        if native.available():
+            rows, cols = native.npy_dims(path)
+            t, d = (cols, rows) if transpose else (rows, cols)
+            return native.load_features(path, transpose, t_cap=t, d=d)
+    except Exception:  # noqa: BLE001 - any native hiccup falls back to numpy
+        pass
+
+    feature = np.load(path)
     if transpose:
         feature = feature.T
     if feature.dtype != np.float32:

@@ -18,6 +18,7 @@ import jax
 import numpy as np
 
 from ..configs.utils import cfg2flatdict
+from ..data.prefetch import prefetch
 from ..utils.results import Checkpoint, save_results
 from . import checkpoint as ckpt_io
 from .logging import Logger, split_metric_namespace
@@ -54,7 +55,7 @@ def evaluate(global_step, exp: Experiment, eval_step, params, logger, savedir):
         holdout_classes=test_ds.holdout_classes,
         seen_classes=test_ds.seen_classes,
     )
-    for batch in exp.test_loader():
+    for batch in prefetch(exp.test_loader(), cfg.TPU.prefetch):
         pred = eval_step(params, batch.device_arrays)
         video_saves = _collect_video_saves(batch, pred)
         save_results(ckpt, batch.vnames, batch.eval_labels, video_saves)
@@ -135,7 +136,7 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
     t_start = time.time()
 
     for eidx in range(start_epoch, cfg.epoch):
-        for batch in trainloader:
+        for batch in prefetch(trainloader, cfg.TPU.prefetch):
             rng = jax.random.fold_in(base_rng, global_step)
             state, out = train_step(state, batch.device_arrays, rng)
 

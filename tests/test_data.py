@@ -166,3 +166,19 @@ def test_seg_cap_violation(fixture_dir):
     asm = BatchAssembler(train_ds, seg_cap=1, buckets=[512])
     with pytest.raises(ValueError):
         asm.assemble(train_ds.get_vnames()[:1])
+
+
+def test_prefetch_iterator_matches_direct():
+    from fact_clip_tpu.data.prefetch import prefetch
+
+    items = list(range(20))
+    assert list(prefetch(items, depth=3)) == items
+    # exceptions propagate to the consumer
+    def gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        list(prefetch(gen(), depth=2))
