@@ -160,7 +160,10 @@ class DilatedResidualLayer(nn.Module):
 
         xm = x * mask[:, :, None]
 
-        if self.use_pallas and deterministic and g == 1:
+        # fused path: inference always; training too when the layer has no
+        # dropout (the custom VJP covers gradients; dropout would need rng
+        # inside the kernel)
+        if self.use_pallas and g == 1 and (deterministic or self.dropout == 0.0):
             from ..ops.pallas.dilated_conv import dilated_residual_layer
 
             return dilated_residual_layer(

@@ -48,12 +48,96 @@ def _kernel(x_ref, wd_ref, bd_ref, w1_ref, b1_ref, g_ref, beta_ref, o_ref, *,
     o_ref[0, :, :] = out.astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("dilation", "use_ln", "eps", "tile", "interpret")
-)
 def dilated_residual_layer(x, wd, bd, w1, b1, gamma, beta, *, dilation: int,
                            use_ln: bool = True, eps: float = 1e-5,
                            tile: int = 512, interpret: bool = False):
+    """Differentiable fused layer: Pallas forward, recompute-in-backward VJP
+    (the backward recomputes the cheap intermediates from x instead of saving
+    them — rematerialization trades a little compute for activation memory).
+    """
+    return _dr_vjp(x, wd, bd, w1, b1, gamma, beta, dilation, use_ln, eps, tile, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _dr_vjp(x, wd, bd, w1, b1, gamma, beta, dilation, use_ln, eps, tile, interpret):
+    return _forward(x, wd, bd, w1, b1, gamma, beta, dilation=dilation,
+                    use_ln=use_ln, eps=eps, tile=tile, interpret=interpret)
+
+
+def _reference_forward_pieces(x, wd, bd, w1, b1, dilation):
+    """XLA recomputation of the intermediates (used by the backward pass)."""
+    import jax.lax as lax
+
+    conv = lax.conv_general_dilated(
+        x, wd, window_strides=(1,), padding=[(dilation, dilation)],
+        rhs_dilation=(dilation,), dimension_numbers=("NWC", "WIO", "NWC"),
+    ) + bd
+    a = jax.nn.relu(conv)
+    z = a @ w1 + b1 + x
+    return a, z
+
+
+def _fwd(x, wd, bd, w1, b1, gamma, beta, dilation, use_ln, eps, tile, interpret):
+    y = _forward(x, wd, bd, w1, b1, gamma, beta, dilation=dilation,
+                 use_ln=use_ln, eps=eps, tile=tile, interpret=interpret)
+    return y, (x, wd, bd, w1, b1, gamma)
+
+
+def _bwd(dilation, use_ln, eps, tile, interpret, res, g):
+    import jax.lax as lax
+
+    x, wd, bd, w1, b1, gamma = res
+    a, z = _reference_forward_pieces(x, wd, bd, w1, b1, dilation)
+
+    if use_ln:
+        mean = z.mean(axis=-1, keepdims=True)
+        var = ((z - mean) ** 2).mean(axis=-1, keepdims=True)
+        rstd = lax.rsqrt(var + eps)
+        xhat = (z - mean) * rstd
+        dgamma = (g * xhat).sum(axis=(0, 1))
+        dbeta = g.sum(axis=(0, 1))
+        gg = g * gamma
+        dz = (gg - gg.mean(axis=-1, keepdims=True)
+              - xhat * (gg * xhat).mean(axis=-1, keepdims=True)) * rstd
+    else:
+        dgamma = jnp.zeros_like(gamma)
+        dbeta = jnp.zeros_like(gamma)
+        dz = g
+
+    # z = a @ w1 + b1 + x
+    da = dz @ w1.T
+    dw1 = jnp.einsum("btc,btd->cd", a, dz)
+    db1 = dz.sum(axis=(0, 1))
+
+    dc = da * (a > 0)
+    dbd = dc.sum(axis=(0, 1))
+    # conv backward w.r.t. input: correlate dc with flipped taps
+    wd_flip = jnp.flip(wd, axis=0).transpose(0, 2, 1)  # (3, C_out, C_in) -> taps on dc
+    dx_conv = lax.conv_general_dilated(
+        dc, wd_flip, window_strides=(1,), padding=[(dilation, dilation)],
+        rhs_dilation=(dilation,), dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    # conv backward w.r.t. weights: dW[k] = sum_t x[t + (k-1)d]^T dc[t]
+    d = dilation
+    xp = jnp.pad(x, ((0, 0), (d, d), (0, 0)))
+    T = x.shape[1]
+    dwd = jnp.stack(
+        [jnp.einsum("btc,btd->cd", xp[:, k * d : k * d + T], dc) for k in range(3)], axis=0
+    )
+
+    dx = dx_conv + dz  # residual path
+    return dx, dwd, dbd, dw1, db1, dgamma, dbeta
+
+
+_dr_vjp.defvjp(_fwd, _bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dilation", "use_ln", "eps", "tile", "interpret")
+)
+def _forward(x, wd, bd, w1, b1, gamma, beta, *, dilation: int,
+             use_ln: bool = True, eps: float = 1e-5,
+             tile: int = 512, interpret: bool = False):
     """Apply one fused dilated residual layer.
 
     x: (B, T, C) with padded frames already zeroed;

@@ -64,3 +64,34 @@ def test_fused_kernel_odd_lengths(rng):
     )
     assert out.shape == (B, T, C)
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_fused_kernel_custom_vjp_matches_autodiff(rng):
+    """Gradients through the fused layer must match autodiff of the dense ops."""
+    B, T, C, d = 2, 60, 8, 4
+    args = [
+        jnp.array(rng.normal(size=(B, T, C)).astype(np.float32)),
+        jnp.array((rng.normal(size=(3, C, C)) * 0.1).astype(np.float32)),
+        jnp.array((rng.normal(size=(C,)) * 0.1).astype(np.float32)),
+        jnp.array((rng.normal(size=(C, C)) * 0.1).astype(np.float32)),
+        jnp.array((rng.normal(size=(C,)) * 0.1).astype(np.float32)),
+        jnp.array(rng.normal(size=(C,)).astype(np.float32)),
+        jnp.array(rng.normal(size=(C,)).astype(np.float32)),
+    ]
+
+    def fused_loss(x, wd, bd, w1, b1, gamma, beta):
+        y = dilated_residual_layer(x, wd, bd, w1, b1, gamma, beta, dilation=d, tile=32, interpret=True)
+        return (y ** 2).sum()
+
+    def ref_loss(x, wd, bd, w1, b1, gamma, beta):
+        conv = _dilated_conv(x, wd, bd, d, 1)
+        h = jax.nn.relu(conv) @ w1 + b1 + x
+        mean = h.mean(-1, keepdims=True)
+        var = ((h - mean) ** 2).mean(-1, keepdims=True)
+        y = (h - mean) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
+        return (y ** 2).sum()
+
+    g_fused = jax.grad(fused_loss, argnums=tuple(range(7)))(*args)
+    g_ref = jax.grad(ref_loss, argnums=tuple(range(7)))(*args)
+    for name, a, b in zip(["x", "wd", "bd", "w1", "b1", "gamma", "beta"], g_fused, g_ref):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-3, err_msg=name)
