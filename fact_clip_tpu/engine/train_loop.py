@@ -135,8 +135,13 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
     print(f"Start Training from Epoch {start_epoch}...")
     t_start = time.time()
 
+    profile_dir = cfg.TPU.profile_dir
+
     for eidx in range(start_epoch, cfg.epoch):
         for batch in prefetch(trainloader, cfg.TPU.prefetch):
+            if profile_dir and global_step == cfg.TPU.profile_start:
+                jax.profiler.start_trace(profile_dir)
+                print(f"profiler: tracing steps {global_step}..{cfg.TPU.profile_stop} -> {profile_dir}")
             rng = jax.random.fold_in(base_rng, global_step)
             state, out = train_step(state, batch.device_arrays, rng)
 
@@ -145,6 +150,10 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
                 batch, out["pred"], np.asarray(out["per_video_loss"]), extra
             )
             save_results(train_ckpt, batch.vnames, batch.eval_labels, video_saves)
+
+            if profile_dir and global_step == cfg.TPU.profile_stop:
+                jax.profiler.stop_trace()
+                print("profiler: trace stopped")
 
             if (global_step + 1) % cfg.aux.print_every == 0:
                 train_ckpt.compute_metrics()
