@@ -254,3 +254,45 @@ def convert_fact_state_dict(state_dict, block_cfgs, trans: bool = False) -> dict
     if leftovers:
         print(f"torch_import: {len(leftovers)} unconverted entries: {leftovers[:8]} ...")
     return params
+
+
+def convert_verbnoun_state_dict(state_dict, block_cfgs, trans: bool = False) -> dict:
+    """Convert a reference verb/noun (epic) FACT state_dict
+    (blocks_SepVerbNoun.py module structure) to our VerbNounFACT tree."""
+    sd = _SD(state_dict)
+    params = {}
+
+    if not trans:
+        params["action_query"] = np.asarray(sd("action_query"))[:, 0, :]
+    else:
+        params["verb_embed"] = {"embedding": sd("verb_embed.weight")}
+        params["noun_embed"] = {"embedding": sd("noun_embed.weight")}
+
+    for idx, c in enumerate(block_cfgs):
+        p = f"block_list.{idx}"
+        blk = {}
+        if c.kind == "I":
+            blk["frame_branch"] = _fbranch(sd, p + ".frame_branch", c, in_map=True)
+            blk["action_branch"] = _abranch(sd, p + ".action_branch", c)
+            blk["tdu"] = {
+                "seg_update": _gru(sd, p + ".seg_update", 2),  # fixed 2 layers (:370)
+                "seg_combine": _dense(sd, p + ".seg_combine"),
+            }
+        elif c.kind == "U":
+            blk["frame_branch"] = _fbranch(sd, p + ".frame_branch", c, in_map=False)
+            blk["action_branch"] = _abranch(sd, p + ".action_branch", c)
+            blk["f2a_layer"] = _x2y(sd, p + ".f2a_layer")
+            blk["a2f_layer"] = _x2y(sd, p + ".a2f_layer")
+            blk["tdu"] = {
+                "seg_update": _gru(sd, p + ".seg_update", c.s_layers),
+                "seg_combine": _dense(sd, p + ".seg_combine"),
+            }
+            blk["sf_merge"] = _dense(sd, p + ".sf_merge.0")
+        else:
+            raise ValueError(c.kind)
+        params[f"block{idx}"] = blk
+
+    leftovers = sd.unused()
+    if leftovers:
+        print(f"torch_import (verbnoun): {len(leftovers)} unconverted: {leftovers[:8]} ...")
+    return params

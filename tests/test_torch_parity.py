@@ -209,3 +209,83 @@ def test_loss_parity_vs_reference(ref_modules):
     )
     ours = float(losses.fact_loss(saves, batch, seg2tok, cweight, cfg.Loss.sw)[0])
     np.testing.assert_allclose(ours, ref_loss, rtol=2e-3)
+
+
+def test_verbnoun_forward_parity(ref_modules, tmp_path, monkeypatch):
+    """Epic verb/noun factored-head model vs the reference implementation."""
+    import torch
+
+    from fact_clip_tpu.data.synthetic import make_epic_fixture
+    from fact_clip_tpu.models.verbnoun import build_verbnoun_fact, load_vids_nids
+    from fact_clip_tpu.utils.torch_import import convert_verbnoun_state_dict
+
+    # the reference resolves its verb/noun mapping files relative to the CWD
+    base = make_epic_fixture(str(tmp_path), n_verbs=3, n_nouns=4, n_actions=6,
+                             n_train=2, n_test=1, feat_dim=9)
+    os.makedirs(tmp_path / "data" / "epic-kitchens", exist_ok=True)
+    monkeypatch.chdir(tmp_path)
+
+    ref_defaults, _ = ref_modules
+    sys.path.insert(0, REF)
+    try:
+        import fact_clip.models.blocks_SepVerbNoun as ref_vn
+
+        ref_vn._VIDS = None
+        ref_vn._NIDS = None
+
+        cfg_fill = _cfg_pair(16, 32, "m2")
+        ref_cfg = cfg_fill(ref_defaults())
+        ref_cfg.FACT.block = "IU"
+        ref_cfg.FACT.fpos = True
+        torch.manual_seed(0)
+        net = ref_vn.FACT(ref_cfg, 9, n_classes1=3, n_classes2=4).eval()
+
+        T, D = 40, 9
+        rng = np.random.default_rng(0)
+        feats = rng.normal(size=(T, D)).astype(np.float32)
+        labels = np.repeat(rng.integers(0, 6, size=4), T // 4 + 1)[:T].astype(np.int64)
+
+        with torch.no_grad():
+            saves_ref = net([torch.from_numpy(feats)], [torch.from_numpy(labels)])
+            ref_pred = saves_ref[0]["pred"]
+            ref_blocks = [
+                dict(frame_logp=b.frame_logp.squeeze(1).numpy(),
+                     action_logp=b.action_logp.squeeze(1).numpy())
+                for b in net.block_list
+            ]
+    finally:
+        sys.path.remove(REF)
+
+    cfg = cfg_fill(get_cfg_defaults())
+    cfg.FACT.block = "IU"
+    cfg.FACT.fpos = True
+    from fact_clip_tpu.models.blocks import resolve_block_cfgs as _resolve
+
+    bcfgs = _resolve(cfg)
+    vids, nids = load_vids_nids(base)
+    model = build_verbnoun_fact(cfg, D, vids, nids, s_pred_cap=T, n_classes1=3, n_classes2=4)
+
+    converted = jax.tree_util.tree_map(
+        jnp.asarray,
+        convert_verbnoun_state_dict({k: v.numpy() for k, v in net.state_dict().items()}, bcfgs),
+    )
+    saves, _ = model.apply(
+        {"params": converted}, jnp.array(feats)[None], jnp.ones((1, T), bool),
+        jnp.array([T], jnp.int32), train=False,
+    )
+    for blk, (ours, ref) in enumerate(zip(saves, ref_blocks)):
+        np.testing.assert_allclose(
+            np.array(ours["frame_logp"])[0], ref["frame_logp"], atol=3e-4,
+            err_msg=f"block {blk} frame_logp",
+        )
+        np.testing.assert_allclose(
+            np.array(ours["action_logp"])[0], ref["action_logp"], atol=3e-4,
+            err_msg=f"block {blk} action_logp",
+        )
+
+    pred = decode.decode_two_branch_logp(
+        saves[-1]["action_logp"], saves[-1]["a2f_attn"], saves[-1]["frame_logp"],
+        cfg.FACT.mwt, jnp.ones((1, cfg.FACT.ntoken), bool),
+    )
+    agree = (np.array(pred)[0] == ref_pred).mean()
+    assert agree > 0.99, f"decode agreement {agree}"
