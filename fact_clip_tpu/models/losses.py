@@ -309,3 +309,37 @@ def infonce_contrastive_loss(frame_emb, text_emb, labels, frame_mask, temperatur
     t2v = per_class.mean(axis=1)
 
     return (v2t + t2v) / 2.0
+
+
+def action_token_contrastive_loss(projected_tokens, text_emb, seg2tok, transcript,
+                                  seg_mask, temperature: float):
+    """Symmetric contrastive loss between matched action tokens and their
+    segments' text embeddings (loss.py:344-384; not used by the reference's
+    default training path, provided for capability parity).
+
+    projected_tokens: (B, M, E) normalized; text_emb: (n, E);
+    seg2tok: (B, S) matching; transcript: (B, S).  Returns (B,).
+    """
+    matched_tok = jnp.take_along_axis(
+        projected_tokens, seg2tok[..., None].astype(jnp.int32), axis=1
+    )  # (B, S, E)
+    matched_text = text_emb[transcript]  # (B, S, E)
+
+    sim = jnp.einsum("bse,bte->bst", matched_tok, matched_text) / temperature
+    neg = jnp.asarray(-1e9, sim.dtype)
+    sim = jnp.where(seg_mask[:, None, :], sim, neg)
+    sim = jnp.where(seg_mask[:, :, None], sim, neg)
+
+    S = sim.shape[1]
+    targets = jnp.arange(S)
+    m = seg_mask.astype(sim.dtype)
+
+    logp_a2t = jax.nn.log_softmax(sim, axis=2)
+    ce_a2t = -jnp.take_along_axis(logp_a2t, targets[None, :, None].repeat(sim.shape[0], 0), axis=2)[..., 0]
+    loss_a2t = (ce_a2t * m).sum(1) / jnp.maximum(m.sum(1), 1e-12)
+
+    logp_t2a = jax.nn.log_softmax(sim, axis=1)
+    ce_t2a = -jnp.take_along_axis(logp_t2a, targets[None, None, :].repeat(sim.shape[0], 0), axis=1)[:, 0]
+    loss_t2a = (ce_t2a * m).sum(1) / jnp.maximum(m.sum(1), 1e-12)
+
+    return (loss_a2t + loss_t2a) / 2.0
