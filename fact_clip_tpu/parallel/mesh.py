@@ -42,6 +42,35 @@ def shard_batch(mesh: Mesh, arrays: dict, data_axis: str = "data") -> dict:
     return {k: jax.device_put(v, sh) for k, v in arrays.items()}
 
 
+def batch_specs_2d(data_axis: str = "data", seq_axis: str = "seq") -> dict:
+    """PartitionSpecs for a batch dict under data x sequence sharding.
+
+    Frame-axis arrays shard over both axes; per-video segment arrays shard
+    over data only.  XLA GSPMD propagates these through the whole model —
+    including dilated convolutions (automatic halo exchange), the M x T
+    cross-attentions (collective softmax), and the TDU cumsum/pooling —
+    verified bit-exact against the unsharded forward in tests/test_parallel.py.
+    """
+    return dict(
+        feats=P(data_axis, seq_axis, None),
+        mask=P(data_axis, seq_axis),
+        labels=P(data_axis, seq_axis),
+        seg_label=P(data_axis, seq_axis),
+        transcript=P(data_axis),
+        seg_mask=P(data_axis),
+        lengths=P(data_axis),
+    )
+
+
+def shard_batch_2d(mesh: Mesh, arrays: dict, data_axis: str = "data", seq_axis: str = "seq") -> dict:
+    """Place a batch dict with batch over ``data`` and time over ``seq``."""
+    specs = batch_specs_2d(data_axis, seq_axis)
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, specs.get(k, P())))
+        for k, v in arrays.items()
+    }
+
+
 def replicate_tree(mesh: Mesh, tree):
     """Replicate a pytree (params / optimizer state) across the mesh."""
     sh = replicated(mesh)
