@@ -175,6 +175,7 @@ TPU.prefetch = 2  # host pipeline prefetch depth
 TPU.profile_dir = ""  # non-empty -> capture a jax.profiler trace there
 TPU.profile_start = 10  # global step to start the trace
 TPU.profile_stop = 15  # global step to stop the trace
+TPU.checkpoint_backend = "msgpack"  # "msgpack" (single file) | "orbax" (directory)
 
 
 def get_cfg_defaults() -> CN:

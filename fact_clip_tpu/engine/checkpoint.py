@@ -31,10 +31,37 @@ def load_params(template, fname: str):
         return serialization.from_bytes(template, f.read())
 
 
-def save_model(params, ckptdir: str, iteration: int) -> str:
+def save_params_orbax(params, dirname: str) -> None:
+    """Orbax backend: directory-based checkpoint with async-capable layout."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(dirname), params, force=True)
+
+
+def load_params_orbax(template, dirname: str):
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(dirname), item=template)
+
+
+def save_model(params, ckptdir: str, iteration: int, backend: str = "msgpack") -> str:
+    """Write ``network.iter-<N>.net`` (msgpack file) or ``.orbax`` (directory)."""
+    if backend == "orbax":
+        dirname = os.path.join(ckptdir, f"network.iter-{iteration}.orbax")
+        save_params_orbax(params, dirname)
+        return dirname
     fname = os.path.join(ckptdir, f"network.iter-{iteration}.net")
     save_params(params, fname)
     return fname
+
+
+def load_model(template, path: str):
+    """Load either checkpoint format by extension."""
+    if path.endswith(".orbax"):
+        return load_params_orbax(template, path)
+    return load_params(template, path)
 
 
 def resume_ckpt(cfg, logdir: str):
@@ -58,11 +85,15 @@ def resume_ckpt(cfg, logdir: str):
         if not files:
             print("No resume, Train from Scratch")
             return 0, None
-        iterations = [int(f[: -len(".net")].split("-")[-1]) for f in files]
-        it = max(iterations)
-        ckpt_file = os.path.join(ckptdir, f"network.iter-{it}.net")
+
+        def it_of(f):
+            stem = f.rsplit(".", 1)[0]
+            return int(stem.split("-")[-1])
+
+        latest = max(files, key=it_of)
+        ckpt_file = os.path.join(ckptdir, latest)
         print("Resume from", ckpt_file)
-        return it, ckpt_file
+        return it_of(latest), ckpt_file
 
     # explicit path
     assert os.path.exists(cfg.aux.resume), cfg.aux.resume

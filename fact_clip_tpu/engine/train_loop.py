@@ -44,7 +44,7 @@ def _collect_video_saves(batch, pred_dev, per_video_loss=None, extra_losses=None
     return saves
 
 
-def evaluate(global_step, exp: Experiment, eval_step, params, logger, savedir):
+def evaluate(global_step, exp: Experiment, eval_step, params, logger, savedir, place=lambda a: a):
     """Test pass -> metrics -> results checkpoint (train.py:18-86)."""
     cfg = exp.cfg
     test_ds = exp.test_dataset
@@ -56,7 +56,7 @@ def evaluate(global_step, exp: Experiment, eval_step, params, logger, savedir):
         seen_classes=test_ds.seen_classes,
     )
     for batch in prefetch(exp.test_loader(), cfg.TPU.prefetch):
-        pred = eval_step(params, batch.device_arrays)
+        pred = eval_step(params, place(batch.device_arrays))
         video_saves = _collect_video_saves(batch, pred)
         save_results(ckpt, batch.vnames, batch.eval_labels, video_saves)
 
@@ -108,12 +108,44 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
 
     params = exp.params
     if ckpt_file is not None:
-        params = ckpt_io.load_params(params, ckpt_file)
+        params = ckpt_io.load_model(params, ckpt_file)
 
     state = create_train_state(exp.model, params, cfg, steps_per_epoch)
     train_step, eval_step = make_step_fns(
         exp.model, cfg, dataset.nclasses, exp.cweight, exp.clip_bundle, verbnoun=exp.verbnoun
     )
+
+    # multi-device: shard batches over a data x seq mesh and replicate state;
+    # GSPMD handles every collective (tests/test_parallel.py)
+    mesh = None
+    n_dev = jax.local_device_count()
+    if n_dev > 1 and cfg.TPU.num_data_shards != 1:
+        from ..parallel import mesh as mesh_lib
+
+        n_seq = max(1, cfg.TPU.num_seq_shards)
+        if cfg.TPU.num_data_shards > 0:
+            n_data = cfg.TPU.num_data_shards
+            assert cfg.batch_size % n_data == 0, (
+                f"batch_size {cfg.batch_size} not divisible by num_data_shards {n_data}"
+            )
+        else:
+            # auto: the largest batch divisor that fits the devices
+            n_data = 1
+            for cand in range(min(n_dev // n_seq, cfg.batch_size), 0, -1):
+                if cfg.batch_size % cand == 0:
+                    n_data = cand
+                    break
+        if n_data * n_seq > 1:
+            mesh = mesh_lib.make_mesh(n_data=n_data, n_seq=n_seq)
+            state = mesh_lib.replicate_tree(mesh, state)
+            print(f"Mesh: data={n_data} x seq={n_seq} over {n_dev} devices")
+
+    def place(arrays: dict) -> dict:
+        if mesh is None:
+            return arrays
+        from ..parallel import mesh as mesh_lib
+
+        return mesh_lib.shard_batch_2d(mesh, arrays)
 
     logger = Logger(cfg, cfg2flatdict(cfg))
 
@@ -143,7 +175,7 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
                 jax.profiler.start_trace(profile_dir)
                 print(f"profiler: tracing steps {global_step}..{cfg.TPU.profile_stop} -> {profile_dir}")
             rng = jax.random.fold_in(base_rng, global_step)
-            state, out = train_step(state, batch.device_arrays, rng)
+            state, out = train_step(state, place(batch.device_arrays), rng)
 
             extra = {k: out[k] for k in ("contrastive_loss",) if k in out}
             video_saves = _collect_video_saves(
@@ -172,11 +204,12 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
                 train_ckpt = fresh_train_ckpt()
 
             if global_step != 0 and (global_step + 1) % cfg.aux.eval_every == 0:
-                test_ckpt = evaluate(global_step, exp, eval_step, state.params, logger, savedir)
+                test_ckpt = evaluate(global_step, exp, eval_step, state.params, logger, savedir, place)
                 if test_ckpt.metrics["F1@0.50"] >= best_metric:
                     best_ckpt = test_ckpt
                     best_metric = test_ckpt.metrics["F1@0.50"]
-                ckpt_io.save_model(state.params, ckptdir, global_step + 1)
+                ckpt_io.save_model(state.params, ckptdir, global_step + 1,
+                                   backend=cfg.TPU.checkpoint_backend)
 
             global_step += 1
         # LR decay lives in the optimizer schedule (state.py)

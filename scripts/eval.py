@@ -30,7 +30,7 @@ CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file
 
 def eval_one(cfg, weights_path):
     exp = build_experiment(cfg)
-    params = ckpt_io.load_params(exp.params, weights_path)
+    params = ckpt_io.load_model(exp.params, weights_path)
     _, eval_step = make_step_fns(
         exp.model, cfg, exp.dataset.nclasses, exp.cweight, exp.clip_bundle, verbnoun=exp.verbnoun
     )

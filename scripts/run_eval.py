@@ -86,7 +86,7 @@ if __name__ == "__main__":
     print("Test dataset ", exp.test_dataset)
 
     print(f"Loading checkpoint: {args.ckpt_file}")
-    params = ckpt_io.load_params(exp.params, args.ckpt_file)
+    params = ckpt_io.load_model(exp.params, args.ckpt_file)
     print("Checkpoint loaded.")
 
     _, eval_step = make_step_fns(
