@@ -19,7 +19,7 @@ import dataclasses
 
 import numpy as np
 
-from .dataset import Dataset, VideoItem
+from .dataset import Dataset
 
 
 def make_bucket_lengths(max_len: int, multiple: int = 128, growth: float = 1.26) -> list:

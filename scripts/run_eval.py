@@ -17,7 +17,6 @@ ensure_platform()
 
 from fact_clip_tpu.configs.utils import setup_cfg
 from fact_clip_tpu.engine import checkpoint as ckpt_io
-from fact_clip_tpu.engine.logging import Logger
 from fact_clip_tpu.engine.setup import build_experiment
 from fact_clip_tpu.engine.steps import make_step_fns
 from fact_clip_tpu.home import get_project_base

@@ -1,6 +1,5 @@
 import os
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -8,7 +7,7 @@ import pytest
 from fact_clip_tpu.configs.default import get_cfg_defaults
 from fact_clip_tpu.data.synthetic import make_fixture_dataset
 from fact_clip_tpu.data.text_prompts import generate_action_prompt, is_havid_label, parse_havid_label
-from fact_clip_tpu.engine.setup import build_clip_bundle, build_experiment
+from fact_clip_tpu.engine.setup import build_clip_bundle
 from fact_clip_tpu.engine.train_loop import run_train
 from fact_clip_tpu.models import decode, losses
 

@@ -1,7 +1,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from fact_clip_tpu.configs.default import get_cfg_defaults
 from fact_clip_tpu.models import decode, losses, matching

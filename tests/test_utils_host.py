@@ -3,7 +3,7 @@ import pytest
 
 from fact_clip_tpu.utils.metrics import edit_score, f_score, levenstein
 from fact_clip_tpu.utils.reduce import easy_reduce
-from fact_clip_tpu.utils.results import Checkpoint, Video, save_results
+from fact_clip_tpu.utils.results import Checkpoint, save_results
 from fact_clip_tpu.utils.segments import (
     Segment,
     class_label_to_segment_data,
