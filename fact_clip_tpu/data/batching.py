@@ -146,7 +146,12 @@ class TrainLoader:
         for b in range(self.num_batch):
             idx = order[b * self.batch_size : (b + 1) * self.batch_size]
             if len(idx) < self.batch_size:
-                idx = idx + order[: self.batch_size - len(idx)]
+                # complete the tail batch from the *end* of the order: those
+                # are same-bucket (longest) videos, so a short video never
+                # gets dragged through the largest bucket's padded compute
+                pool = order[-self.batch_size :]
+                while len(idx) < self.batch_size:
+                    idx = idx + pool[: self.batch_size - len(idx)]
             batches.append(idx)
         if self.shuffle:
             self._rng.shuffle(batches)

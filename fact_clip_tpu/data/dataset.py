@@ -31,6 +31,20 @@ from .io import (
 BASE = get_project_base()
 
 
+def _shrink_labels(labels: list, sr: int) -> list:
+    """Majority-vote label shrink; native C++ when built, NumPy otherwise."""
+    try:
+        from . import native
+
+        if native.available():
+            import numpy as _np
+
+            return native.shrink_labels(_np.asarray(labels, _np.int64), sr).tolist()
+    except Exception:  # noqa: BLE001
+        pass
+    return shrink_frame_label(labels, sr)
+
+
 class VideoItem:
     """All host-side artifacts for one video."""
 
@@ -228,7 +242,7 @@ def create_dataset(cfg):
 
         if sr > 1:
             feature = feature[::sr]
-            train_label = shrink_frame_label(gt_label, sr)
+            train_label = _shrink_labels(gt_label, sr)
         else:
             train_label = gt_label
         return VideoItem(feature, train_label, gt_label)

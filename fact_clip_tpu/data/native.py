@@ -1,9 +1,14 @@
 """ctypes bindings for the native host data runtime (native/factdata.cpp).
 
 The library is optional: if ``native/libfactdata.so`` hasn't been built
-(``make -C native``), callers fall back to the NumPy implementations.  The
-native path fuses .npy read + f8->f4 cast + (D,T)->(T,D) transpose + zero
-padding directly into the batch buffer, with a thread pool across the batch.
+(``make -C native``), callers fall back to the NumPy implementations.
+
+Wired into the pipeline: the fused .npy reader (f8->f4 cast + transpose,
+data/io.py::load_feature) and the majority-vote label shrink
+(data/dataset.py).  ``assemble_batch`` (thread-pooled parallel load of a
+whole batch straight into the padded buffer) is the streaming-mode API for
+datasets too large for the in-memory VideoItem cache; not yet used by the
+default cached-Dataset path.
 """
 
 from __future__ import annotations

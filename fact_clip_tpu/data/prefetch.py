@@ -1,7 +1,7 @@
 """Background-thread batch prefetching.
 
-Overlaps host-side batch assembly (file IO, padding — the native runtime in
-native/factdata.cpp when built) with device compute: the loader thread keeps
+Overlaps host-side batch assembly (file IO via the native reader when built,
+label precompute, padding) with device compute: the loader thread keeps
 ``depth`` assembled batches queued while the TPU consumes the previous ones.
 The reference's loader is fully synchronous (dataset.py:106-131).
 """

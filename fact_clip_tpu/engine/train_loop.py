@@ -177,7 +177,10 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
             rng = jax.random.fold_in(base_rng, global_step)
             state, out = train_step(state, place(batch.device_arrays), rng)
 
-            extra = {k: out[k] for k in ("fact_loss", "contrastive_loss") if k in out and "contrastive_loss" in out}
+            if "contrastive_loss" in out:  # CLIP runs log the loss split
+                extra = {k: out[k] for k in ("fact_loss", "contrastive_loss")}
+            else:
+                extra = {}
             video_saves = _collect_video_saves(
                 batch, out["pred"], np.asarray(out["per_video_loss"]), extra
             )

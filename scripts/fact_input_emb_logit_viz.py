@@ -74,19 +74,25 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
 
     exp = build_experiment(cfg)
-    ckpts = sorted(
-        (f for f in os.listdir(os.path.join(args.logdir, "ckpts")) if f.startswith("network.iter-")),
-        key=lambda f: int(f[: -len(".net")].split("-")[-1]),
-    )
-    assert ckpts, f"no checkpoints under {args.logdir}/ckpts"
-    params = ckpt_io.load_params(exp.params, os.path.join(args.logdir, "ckpts", ckpts[-1]))
-    print(f"loaded {ckpts[-1]}")
 
+    def it_of(f):
+        return int(f.rsplit(".", 1)[0].split("-")[-1])
+
+    ckpts = [f for f in os.listdir(os.path.join(args.logdir, "ckpts")) if f.startswith("network.iter-")]
+    assert ckpts, f"no checkpoints under {args.logdir}/ckpts"
+    latest = max(ckpts, key=it_of)
+    params = ckpt_io.load_model(exp.params, os.path.join(args.logdir, "ckpts", latest))
+    print(f"loaded {latest}")
+
+    trans = bool(cfg.FACT.trans)
     vis, lab_v, act, heatmaps = [], [], [], []
     per_cls = {}
     for batch in exp.test_loader():
         saves, _ = exp.model.apply(
-            {"params": params}, batch.feats, batch.mask, batch.lengths, train=False
+            {"params": params}, batch.feats, batch.mask, batch.lengths,
+            batch.transcript if trans else None,
+            batch.seg_mask if trans else None,
+            train=False,
         )
         last = saves[-1]
         frame_feat = np.asarray(last["frame_clogit"])  # (B, T, C) logits as embedding proxy
