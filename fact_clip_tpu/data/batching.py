@@ -92,6 +92,10 @@ class BatchAssembler:
         lengths = np.zeros((B,), dtype=np.int32)
         eval_labels = []
 
+        streaming = self.dataset.feature_source is not None
+        if streaming:
+            feats = self._stream_features(vnames, items, L, D)
+
         for i, it in enumerate(items):
             t = len(it.train_label)
             s = len(it.transcript)
@@ -100,7 +104,8 @@ class BatchAssembler:
                     f"Video {vnames[i]} has {s} GT segments > static cap {S}; "
                     f"raise cfg.TPU.max_gt_segs"
                 )
-            feats[i, :t] = it.feature[:t]
+            if not streaming:
+                feats[i, :t] = it.feature[:t]
             mask[i, :t] = True
             labels[i, :t] = it.train_label
             seg_label[i, :t] = it.seg_label
@@ -115,6 +120,36 @@ class BatchAssembler:
             eval_labels.append(it.eval_label)
 
         return Batch(feats, mask, labels, seg_label, transcript, seg_mask, lengths, list(vnames), eval_labels)
+
+    def _stream_features(self, vnames, items, L, D):
+        """Streaming mode: read this batch's features from disk (native
+        thread-pooled loader with fused stride/cast/transpose when built)."""
+        import os
+
+        src = self.dataset.feature_source
+        paths = [os.path.join(src["feature_path"], v + ".npy") for v in vnames]
+        caps = np.array([len(it.train_label) for it in items], np.int64)
+
+        from . import native
+
+        if native.available():
+            feats, lens = native.assemble_batch(
+                paths, src["transpose"], t_cap=L, d=D, stride=src["sr"], t_caps=caps
+            )
+            if not (lens == caps).all():
+                raise IOError(
+                    f"streaming feature rows {lens.tolist()} != label rows {caps.tolist()}"
+                )
+            return feats
+
+        from .io import load_feature
+
+        feats = np.zeros((len(vnames), L, D), np.float32)
+        for i, v in enumerate(vnames):
+            f = load_feature(src["feature_path"], v, src["transpose"])
+            f = f[:: src["sr"]] if src["sr"] > 1 else f
+            feats[i, : caps[i]] = f[: caps[i]]
+        return feats
 
 
 class TrainLoader:

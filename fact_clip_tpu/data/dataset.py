@@ -46,7 +46,12 @@ def _shrink_labels(labels: list, sr: int) -> list:
 
 
 class VideoItem:
-    """All host-side artifacts for one video."""
+    """All host-side artifacts for one video.
+
+    ``feature`` is None in streaming mode (cfg.TPU.cache_features=false):
+    labels stay resident, features are read per batch by the native parallel
+    loader (data/native.py::assemble_batch) instead of living in the cache.
+    """
 
     __slots__ = ("feature", "train_label", "eval_label", "transcript", "seg_label")
 
@@ -58,16 +63,24 @@ class VideoItem:
 
 
 class Dataset:
-    """Lazy per-video cache keyed by video name."""
+    """Lazy per-video cache keyed by video name.
 
-    def __init__(self, video_list, nclasses, load_video_func, bg_class):
+    ``feature_source`` (set in streaming mode) describes how to read features
+    per batch: dict(feature_path, transpose, sr, input_dimension).
+    """
+
+    def __init__(self, video_list, nclasses, load_video_func, bg_class, feature_source=None):
         self.video_list = video_list
         self.load_video = load_video_func
         self.nclasses = nclasses
         self.bg_class = bg_class
+        self.feature_source = feature_source
         self.data = {}
         first = self[video_list[0]]
-        self.input_dimension = first.feature.shape[1]
+        if feature_source is not None:
+            self.input_dimension = feature_source["input_dimension"]
+        else:
+            self.input_dimension = first.feature.shape[1]
         # attributes attached by create_dataset (mirrors the reference's
         # monkey-patched attrs, dataset.py:330-349)
         self.average_transcript_len = 0.0
@@ -230,25 +243,71 @@ def create_dataset(cfg):
     nclasses = len(label2index)
 
     sr = cfg.sr
+    cache_features = bool(cfg.TPU.cache_features) if "TPU" in cfg else True
+
+    def _feature_rows(vname) -> int:
+        """Frame count of the feature file from its npy header only."""
+        import os as _os
+
+        path = _os.path.join(feature_path, vname + ".npy")
+        try:
+            from . import native
+
+            if native.available():
+                rows, cols = native.npy_dims(path)
+                return cols if paths["feature_transpose"] else rows
+        except Exception:  # noqa: BLE001
+            pass
+        with open(path, "rb") as f:
+            version = np.lib.format.read_magic(f)
+            shape, _, _ = np.lib.format._read_array_header(f, version)
+        return shape[1] if paths["feature_transpose"] else shape[0]
 
     def load_video(vname) -> VideoItem:
-        feature = load_feature(feature_path, vname, paths["feature_transpose"])
         gt_label = [label2index[line] for line in read_groundtruth_lines(groundTruth_path, vname)]
 
-        if feature.shape[0] != len(gt_label):
-            l = min(feature.shape[0], len(gt_label))
-            feature = feature[:l]
-            gt_label = gt_label[:l]
+        if cache_features:
+            feature = load_feature(feature_path, vname, paths["feature_transpose"])
+            if feature.shape[0] != len(gt_label):
+                l = min(feature.shape[0], len(gt_label))
+                feature = feature[:l]
+                gt_label = gt_label[:l]
+            if sr > 1:
+                feature = feature[::sr]
+                train_label = _shrink_labels(gt_label, sr)
+            else:
+                train_label = gt_label
+            return VideoItem(feature, train_label, gt_label)
 
-        if sr > 1:
-            feature = feature[::sr]
-            train_label = _shrink_labels(gt_label, sr)
-        else:
-            train_label = gt_label
-        return VideoItem(feature, train_label, gt_label)
+        # streaming: labels only; features are batch-loaded by the assembler
+        t_feat = _feature_rows(vname)
+        l = min(t_feat, len(gt_label))
+        gt_label = gt_label[:l]
+        train_label = _shrink_labels(gt_label, sr) if sr > 1 else gt_label
+        return VideoItem(None, train_label, gt_label)
+
+    def _feature_dim(vname) -> int:
+        import os as _os
+
+        path = _os.path.join(feature_path, vname + ".npy")
+        with open(path, "rb") as f:
+            version = np.lib.format.read_magic(f)
+            shape, _, _ = np.lib.format._read_array_header(f, version)
+        return shape[0] if paths["feature_transpose"] else shape[1]
 
     test_video_list = _clean_video_names(read_split_list(paths["test_split"]), cfg.dataset)
-    test_dataset = Dataset(test_video_list, nclasses, load_video, bg_class)
+
+    feature_source = None
+    if not cache_features:
+        feature_source = dict(
+            feature_path=feature_path,
+            transpose=bool(paths["feature_transpose"]),
+            sr=sr,
+            input_dimension=_feature_dim(test_video_list[0]),
+        )
+
+    test_dataset = Dataset(test_video_list, nclasses, load_video, bg_class,
+                           feature_source=feature_source)
 
     if cfg.aux.debug:
         dataset = test_dataset
@@ -268,7 +327,8 @@ def create_dataset(cfg):
             if len(video_list) == 0:
                 raise ValueError("No training videos remaining after holdout filtering!")
 
-        dataset = Dataset(video_list, nclasses, load_video, bg_class)
+        dataset = Dataset(video_list, nclasses, load_video, bg_class,
+                          feature_source=feature_source)
 
     for ds in (dataset, test_dataset):
         ds.average_transcript_len = paths["average_transcript_len"]

@@ -51,6 +51,12 @@ def _load():
     ]
     lib.fact_load_features.restype = ctypes.c_long
 
+    lib.fact_load_features_strided.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_long, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long, ctypes.c_long,
+    ]
+    lib.fact_load_features_strided.restype = ctypes.c_long
+
     lib.fact_shrink_labels.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.c_long, ctypes.c_long,
         ctypes.POINTER(ctypes.c_int64),
@@ -63,6 +69,7 @@ def _load():
 
     lib.fact_assemble_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_int,
+        ctypes.c_long, ctypes.POINTER(ctypes.c_long),
         ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
         ctypes.POINTER(ctypes.c_long), ctypes.c_int,
     ]
@@ -126,18 +133,26 @@ def rle(labels) -> tuple:
     return cls[:k], start[:k], end[:k]
 
 
-def assemble_batch(paths, transpose: bool, t_cap: int, d: int, n_threads: int = 0):
+def assemble_batch(paths, transpose: bool, t_cap: int, d: int, n_threads: int = 0,
+                   stride: int = 1, t_caps=None):
     """Parallel-load a batch of feature files into (B, t_cap, d) float32.
 
-    Returns (batch, lengths).  Zero padding beyond each video's length.
+    ``stride`` applies cfg.sr temporal subsampling; ``t_caps`` optionally caps
+    each video's rows (e.g. its ground-truth label count).  Returns
+    (batch, lengths) with zero padding beyond each video's length.
     """
     lib = _load()
     B = len(paths)
     out = np.empty((B, t_cap, d), np.float32)
     lengths = np.zeros(B, np.int64)
     arr = (ctypes.c_char_p * B)(*[p.encode() for p in paths])
+    caps_ptr = None
+    if t_caps is not None:
+        t_caps = np.ascontiguousarray(t_caps, np.int64)
+        caps_ptr = t_caps.ctypes.data_as(ctypes.POINTER(ctypes.c_long))
     lib.fact_assemble_batch(
-        arr, B, int(transpose), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        arr, B, int(transpose), int(stride), caps_ptr,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         t_cap, d, lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), n_threads,
     )
     if (lengths < 0).any():

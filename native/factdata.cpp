@@ -108,17 +108,20 @@ int fact_npy_dims(const char* path, long* rows, long* cols) {
 }
 
 // Load a 2D float .npy into `out` (T_out x D float32, C order), casting from
-// f8 if needed, transposing if `transpose` (file is D x T), and writing at
-// most `t_cap` rows.  Rows beyond the file's length are left untouched.
+// f8 if needed, transposing if `transpose` (file is D x T), subsampling every
+// `stride`-th frame (the cfg.sr temporal downsampling), and writing at most
+// `t_cap` rows.  Rows beyond the file's length are left untouched.
 // Returns the number of rows written, or a negative error code.
-long fact_load_features(const char* path, int transpose, float* out,
-                        long t_cap, long d_expected) {
+long fact_load_features_strided(const char* path, int transpose, long stride,
+                                float* out, long t_cap, long d_expected) {
+  if (stride <= 0) stride = 1;
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   NpyInfo info;
   if (!parse_npy_header(f, &info)) { fclose(f); return -2; }
 
-  long file_t = transpose ? info.cols : info.rows;
+  long raw_t = transpose ? info.cols : info.rows;
+  long file_t = (raw_t + stride - 1) / stride;  // frames after subsampling
   long file_d = transpose ? info.rows : info.cols;
   if (d_expected > 0 && file_d != d_expected) { fclose(f); return -3; }
   long T = file_t < t_cap ? file_t : t_cap;
@@ -150,12 +153,17 @@ long fact_load_features(const char* path, int transpose, float* out,
 
   if (!transpose) {
     for (long t = 0; t < T; ++t)
-      for (long d = 0; d < D; ++d) out[t * D + d] = (float)at(t, d);
+      for (long d = 0; d < D; ++d) out[t * D + d] = (float)at(t * stride, d);
   } else {
     for (long t = 0; t < T; ++t)
-      for (long d = 0; d < D; ++d) out[t * D + d] = (float)at(d, t);
+      for (long d = 0; d < D; ++d) out[t * D + d] = (float)at(d, t * stride);
   }
   return T;
+}
+
+long fact_load_features(const char* path, int transpose, float* out,
+                        long t_cap, long d_expected) {
+  return fact_load_features_strided(path, transpose, 1, out, t_cap, d_expected);
 }
 
 // Majority-vote shrink of an int64 label sequence by clip_len
@@ -207,7 +215,11 @@ long fact_rle(const int64_t* labels, long n, int64_t* cls, int64_t* start, int64
 // Parallel batch assembly: load B feature files into a zero-initialized
 // (B, t_cap, D) float32 buffer using a thread pool.  lengths[i] receives the
 // rows written for video i (negative = error code for that video).
-void fact_assemble_batch(const char** paths, long B, int transpose, float* out,
+// `stride` applies cfg.sr subsampling; `t_caps` (optional, may be null)
+// gives a per-video row cap (e.g. the ground-truth label count) in addition
+// to the global t_cap.
+void fact_assemble_batch(const char** paths, long B, int transpose, long stride,
+                         const long* t_caps, float* out,
                          long t_cap, long D, long* lengths, int n_threads) {
   if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
   if (n_threads <= 0) n_threads = 4;
@@ -219,8 +231,10 @@ void fact_assemble_batch(const char** paths, long B, int transpose, float* out,
     while (true) {
       long i = next.fetch_add(1);
       if (i >= B) break;
-      lengths[i] = fact_load_features(paths[i], transpose, out + (size_t)i * t_cap * D,
-                                      t_cap, D);
+      long cap = t_cap;
+      if (t_caps && t_caps[i] > 0 && t_caps[i] < cap) cap = t_caps[i];
+      lengths[i] = fact_load_features_strided(
+          paths[i], transpose, stride, out + (size_t)i * t_cap * D, cap, D);
     }
   };
   std::vector<std::thread> pool;

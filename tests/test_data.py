@@ -182,3 +182,34 @@ def test_prefetch_iterator_matches_direct():
 
     with _pytest.raises(RuntimeError):
         list(prefetch(gen(), depth=2))
+
+
+@pytest.mark.parametrize("sr", [1, 3])
+def test_streaming_features_match_cached(fixture_dir, sr, monkeypatch):
+    """Streaming mode (features read per batch) must produce byte-identical
+    batches to the cached mode, with and without the native loader."""
+    cfg_c = _cfg_for(fixture_dir, sr=sr)
+    ds_c, _ = create_dataset(cfg_c)
+
+    cfg_s = _cfg_for(fixture_dir, sr=sr)
+    cfg_s.TPU.cache_features = False
+    ds_s, _ = create_dataset(cfg_s)
+
+    assert ds_s.input_dimension == ds_c.input_dimension
+    buckets, seg_cap = scan_dataset_caps([ds_c], cfg_c)
+    asm_c = BatchAssembler(ds_c, seg_cap, buckets)
+    asm_s = BatchAssembler(ds_s, seg_cap, buckets)
+    vnames = ds_c.get_vnames()[:4]
+
+    b_c = asm_c.assemble(vnames)
+    b_s = asm_s.assemble(vnames)
+    np.testing.assert_allclose(b_s.feats, b_c.feats, rtol=1e-6)
+    np.testing.assert_array_equal(b_s.labels, b_c.labels)
+    np.testing.assert_array_equal(b_s.lengths, b_c.lengths)
+
+    # numpy fallback path
+    from fact_clip_tpu.data import native
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    b_f = asm_s.assemble(vnames)
+    np.testing.assert_allclose(b_f.feats, b_c.feats, rtol=1e-6)

@@ -183,3 +183,21 @@ def test_o2m_device_matches_host(rng):
             c = transcript[0, s]
             assert tok_class.setdefault(dev[s], c) == c
         assert dev_cost <= host_cost + 1e-3
+
+
+def test_auction_at_production_scale(rng):
+    """ntoken x segments at epic scale (300 x 165): the device solver must
+    stay within a hair of scipy's optimum."""
+    from fact_clip_tpu.ops import assignment
+
+    M, S = 300, 165
+    # realistic cost range: -(pc + a2fc) .. 0
+    cost = (-rng.random(size=(M, S)) * 1.2).astype(np.float32)
+    col_valid = np.ones(S, bool)
+    seg_tok = np.array(jax.jit(assignment.auction_assign)(jnp.array(cost), jnp.array(col_valid)))
+    assert len(set(seg_tok.tolist())) == S
+    ours = cost[seg_tok, np.arange(S)].sum()
+    rows, cols = linear_sum_assignment(cost)
+    ref = cost[rows, cols].sum()
+    # optimal within S * eps (eps = 1e-3 * spread)
+    assert ours <= ref + S * 1.2e-3 + 1e-4, (ours, ref)

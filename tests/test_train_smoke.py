@@ -152,3 +152,16 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     ckpt_io.save_model(params, _os.path.join(logdir, "ckpts"), 3, backend="orbax")
     it, f = ckpt_io.resume_ckpt(cfg, logdir)
     assert it == 3 and f.endswith("network.iter-3.orbax")
+
+
+def test_training_streaming_features(fixture_base, tmp_path):
+    """Training with per-batch feature streaming (cfg.TPU.cache_features=false)."""
+    cfg = smoke_cfg(fixture_base, block="iu")
+    cfg.epoch = 5
+    cfg.aux.print_every = 5
+    cfg.aux.eval_every = 10
+    cfg.TPU.cache_features = False
+    cfg.aux.logdir = "log/streamsmoke"
+    state, best_ckpt = run_train(cfg, base_dir=str(tmp_path))
+    assert best_ckpt is not None
+    assert np.isfinite(best_ckpt.metrics["AccB"])
