@@ -289,3 +289,120 @@ def test_verbnoun_forward_parity(ref_modules, tmp_path, monkeypatch):
     )
     agree = (np.array(pred)[0] == ref_pred).mean()
     assert agree > 0.99, f"decode agreement {agree}"
+
+
+def test_fact_clip_parity(ref_modules, tmp_path):
+    """FACT_CLIP: frame projection, holdout-masked InfoNCE, and the zero-shot
+    decode vs the reference implementation."""
+    import torch
+
+    ref_defaults, _ = ref_modules
+    sys.path.insert(0, REF)
+    try:
+        from fact_clip.models.blocks import FACT_CLIP as RefFACTCLIP
+        from fact_clip.models.loss import MatchCriterion as RefCriterion
+    finally:
+        sys.path.remove(REF)
+
+    C, D, T = 5, 11, 50
+    fill = _cfg_pair(16, 32, "m")
+    ref_cfg = fill(ref_defaults())
+    ref_cfg.Loss.nullw = 0.1
+    ref_cfg.Loss.sw = 1.0
+    ref_cfg.use_clip = True
+    ref_cfg.holdout_mode = True
+    ref_cfg.holdout_classes = [2]
+    ref_cfg.CLIP.temp = 0.07
+    ref_cfg.CLIP.projection_hidden_dim = 16
+    ref_cfg.CLIP.projection_dropout = 0.0
+
+    rng = np.random.default_rng(3)
+    text_emb = rng.normal(size=(C, 8)).astype(np.float32)
+    text_emb /= np.linalg.norm(text_emb, axis=-1, keepdims=True)
+
+    torch.manual_seed(3)
+    net = RefFACTCLIP(ref_cfg, D, C, text_embeddings=torch.from_numpy(text_emb)).eval()
+    # the reference projection is hardcoded to clip_dim=512; rebuild it at 8
+    # dims for a compact test with the same structure
+    import torch.nn as nn
+
+    torch.manual_seed(4)
+    from fact_clip.models.blocks import FeatureProjection as RefProj
+
+    sys.path.insert(0, REF)
+    try:
+        net.frame_projection = RefProj(
+            feature_dim=ref_cfg.Bi.hid_dim - C, clip_dim=8, hidden_dim=16, dropout=0.0
+        ).eval()
+    finally:
+        sys.path.remove(REF)
+    net.mcriterion = RefCriterion(ref_cfg, C, [0])
+
+    feats = rng.normal(size=(T, D)).astype(np.float32)
+    labels = np.repeat(np.array([0, 1, 3, 4, 0]), T // 5)[:T].astype(np.int64)  # seen only
+
+    with torch.no_grad():
+        net._forward_one_video(torch.from_numpy(feats).unsqueeze(1), None)
+        ref_pred = net.eval_with_clip(None).numpy()
+        ref_loss = float(net._loss_one_video(torch.from_numpy(labels)))
+
+    # ---- ours
+    from fact_clip_tpu.engine.setup import build_clip_bundle
+    from fact_clip_tpu.models import losses, matching
+    from fact_clip_tpu.models.clip_model import build_fact_clip
+    from fact_clip_tpu.utils.torch_import import convert_fact_state_dict
+
+    cfg = fill(get_cfg_defaults())
+    cfg.Loss.nullw = 0.1
+    cfg.Loss.sw = 1.0
+    cfg.use_clip = True
+    cfg.holdout_mode = True
+    cfg.holdout_classes = [2]
+    cfg.CLIP.temp = 0.07
+    cfg.CLIP.projection_hidden_dim = 16
+    cfg.CLIP.projection_dropout = 0.0
+
+    model = build_fact_clip(cfg, D, C, s_pred_cap=T, clip_dim=8)
+    bundle = build_clip_bundle(cfg, text_emb, holdout_classes=[2])
+
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    bcfgs = resolve_block_cfgs(cfg)
+    converted = jax.tree_util.tree_map(jnp.asarray, convert_fact_state_dict(sd, bcfgs))
+
+    transcript, seg_label = class_label_to_segment_data(labels)
+    S = len(transcript)
+    batch = dict(
+        feats=jnp.array(feats)[None], mask=jnp.ones((1, T), bool),
+        labels=jnp.array(labels)[None].astype(jnp.int32),
+        seg_label=jnp.array(seg_label)[None].astype(jnp.int32),
+        transcript=jnp.array(transcript)[None].astype(jnp.int32),
+        seg_mask=jnp.ones((1, S), bool), lengths=jnp.array([T], jnp.int32),
+    )
+    saves, frame_emb = model.apply(
+        {"params": converted}, batch["feats"], batch["mask"], batch["lengths"], train=False
+    )
+
+    # zero-shot decode parity
+    pred = decode.decode_with_clip(
+        saves[-1]["action_clogit"], saves[-1]["a2f_attn"], frame_emb,
+        bundle["text_emb"], bundle["temp"], cfg.FACT.mwt,
+        jnp.ones((1, cfg.FACT.ntoken), bool),
+    )
+    agree = (np.array(pred)[0] == ref_pred).mean()
+    assert agree > 0.99, f"clip decode agreement {agree}"
+
+    # combined loss parity (fact + holdout-masked InfoNCE)
+    cweight = jnp.array(losses.build_class_weights(cfg, C, [0]))
+    cprob = jax.nn.softmax(saves[-1]["action_clogit"], -1)
+    seg2tok = matching.match(
+        cfg.Loss, cprob, saves[-1]["a2f_attn"], batch["transcript"], batch["seg_label"],
+        batch["seg_mask"], batch["mask"],
+    )
+    fact_l = losses.fact_loss(saves, batch, seg2tok, cweight, cfg.Loss.sw)
+    remapped = bundle["label_map"][batch["labels"]]
+    cont_l = losses.infonce_contrastive_loss(
+        frame_emb, bundle["seen_text_emb"], jnp.maximum(remapped, 0),
+        batch["mask"] & (remapped >= 0), bundle["temp"],
+    )
+    total = float(bundle["fact_w"] * fact_l[0] + bundle["cont_w"] * cont_l[0])
+    np.testing.assert_allclose(total, ref_loss, rtol=2e-3)
