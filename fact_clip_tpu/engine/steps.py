@@ -40,16 +40,23 @@ def make_step_fns(model, cfg, nclasses: int, cweight, clip_bundle=None, verbnoun
     cweight = jnp.asarray(cweight)
     use_clip = clip_bundle is not None
 
+    if verbnoun:
+        vn_vids = jnp.asarray(model.vids, jnp.int32)
+        vn_nids = jnp.asarray(model.nids, jnp.int32)
+
     def _decode(saves, batch, frame_emb):
         last = saves[-1]
         if verbnoun:
+            from ..ops.verbnoun_compose import composed_decode
+
             token_mask = batch["seg_mask"] if trans else jnp.ones(last["action_logp"].shape[:2], bool)
             if trans:
                 return decode.decode_transcript_attn_only(
                     batch["transcript"], batch["seg_mask"], last["a2f_attn"]
                 )
-            return decode.decode_two_branch_logp(
-                last["action_logp"], last["a2f_attn"], last["frame_logp"], mwt, token_mask
+            return composed_decode(
+                last["action_logp"], last["a2f_attn"], last["frame_vlogp"], last["frame_nlogp"],
+                vn_vids, vn_nids, mwt, token_mask,
             )
         token_mask = batch["seg_mask"] if trans else jnp.ones(last["action_clogit"].shape[:2], bool)
         if trans:
@@ -82,7 +89,7 @@ def make_step_fns(model, cfg, nclasses: int, cweight, clip_bundle=None, verbnoun
         seg2tok = _match(saves, batch)
         token_mask = batch["seg_mask"] if trans else None
         if verbnoun:
-            per_video = losses.verbnoun_fact_loss(saves, batch, seg2tok, cweight, sw)
+            per_video = losses.verbnoun_fact_loss(saves, batch, seg2tok, cweight, sw, vn_vids, vn_nids)
         else:
             per_video = losses.fact_loss(saves, batch, seg2tok, cweight, sw, token_mask=token_mask)
         aux = {"fact_loss": per_video}

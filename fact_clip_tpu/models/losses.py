@@ -239,10 +239,14 @@ def fact_loss(saves_list, batch, seg2tok, cweight_arr, sw: float, token_mask=Non
     return sum(per_block) / len(per_block)
 
 
-def verbnoun_block_loss(saves: dict, batch: dict, seg2tok, cweight_arr, sw: float):
+def verbnoun_block_loss(saves: dict, batch: dict, seg2tok, cweight_arr, sw: float, vids, nids):
     """Per-video loss of one verb/noun block
-    (blocks_SepVerbNoun.py:400-413, 484-496).  All clogit-like inputs are
-    combined action log-probabilities (is_logit=False paths)."""
+    (blocks_SepVerbNoun.py:400-413, 484-496).  Frame log-probs arrive
+    factored as (frame_vlogp, frame_nlogp); the frame loss gathers the
+    composed value at the label indices and the smoothing loss streams over
+    action chunks, so the dense (T, n_act) tensor never materializes."""
+    from ..ops.verbnoun_compose import composed_gather, composed_smooth_loss
+
     labels = batch["labels"]
     frame_mask = batch["mask"]
     seg_label = batch["seg_label"]
@@ -254,10 +258,16 @@ def verbnoun_block_loss(saves: dict, batch: dict, seg2tok, cweight_arr, sw: floa
     P = saves["tdu_P"]
     seg_valid = saves["tdu_seg_valid"]
 
-    fl = frame_loss(saves["frame_logp"], labels, frame_mask, cweight_arr, is_logit=False) / 2.0
+    lv, ln = saves["frame_vlogp"], saves["frame_nlogp"]
+    n_act = vids.shape[0]
+    logp_at_label = composed_gather(lv, ln, vids, nids, labels.astype(jnp.int32))
+    w = cweight_arr[:n_act][labels]
+    m = frame_mask.astype(logp_at_label.dtype)
+    fl = (-logp_at_label * w * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1e-12) / 2.0
+
     seg_l = frame_loss_tdu(saves["seg_logp"], P, labels, cweight_arr, is_logit=False) / 2.0
     atk = verbnoun_action_token_loss(saves["action_logp"], seg2tok, transcript, seg_mask, cweight_arr) / 2.0
-    sl = smooth_loss(saves["frame_logp"], pair_mask, is_logit=False)
+    sl = composed_smooth_loss(lv, ln, vids, nids, pair_mask)
 
     if saves["kind"] == "I":
         return (fl + seg_l) / 2.0 + atk + sw * sl
@@ -274,8 +284,10 @@ def verbnoun_block_loss(saves: dict, batch: dict, seg2tok, cweight_arr, sw: floa
     return (fl + seg_l) / 2.0 + atk + f2a + a2f + sw * sl
 
 
-def verbnoun_fact_loss(saves_list, batch, seg2tok, cweight_arr, sw: float):
-    per_block = [verbnoun_block_loss(s, batch, seg2tok, cweight_arr, sw) for s in saves_list]
+def verbnoun_fact_loss(saves_list, batch, seg2tok, cweight_arr, sw: float, vids, nids):
+    per_block = [
+        verbnoun_block_loss(s, batch, seg2tok, cweight_arr, sw, vids, nids) for s in saves_list
+    ]
     return sum(per_block) / len(per_block)
 
 

@@ -20,6 +20,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops import masking, segments
+from ..ops.verbnoun_compose import composed_argmax
 from . import layers as L
 from .blocks import BlockCfg, make_abranch, make_fbranch, make_x2y, resolve_block_cfgs
 
@@ -101,8 +102,11 @@ class _TDUCore(nn.Module):
         S = self.s_pred_cap
         cprob = frame_feature[..., -(self.n1 + self.n2):]
         vprob, nprob = cprob[..., : self.n1], cprob[..., self.n1 :]
-        aprob = vprob[..., vids] * nprob[..., nids]
-        pred = jnp.argmax(aprob, axis=-1)
+        # argmax of the composed action probs == argmax of summed log-probs;
+        # streamed over action chunks instead of materializing (T, n_act)
+        pred = composed_argmax(
+            jnp.log(jnp.maximum(vprob, 1e-30)), jnp.log(jnp.maximum(nprob, 1e-30)), vids, nids
+        )
 
         seg_id, _ = jax.vmap(lambda p, m: segments.segment_ids_from_pred(p, m, S))(pred, frame_mask)
         P = jax.vmap(lambda s, m: segments.assignment_matrix(s, m, S))(seg_id, frame_mask)
@@ -154,7 +158,11 @@ class InputBlockTDUVN(nn.Module):
         action_feature, action_clogit = process_feature_vn(action_feature, self.n1 + 1, self.n2 + 1)
 
         saves = {
-            "frame_logp": combine_verb_noun(frame_clogit, vids, nids, self.n1, apply_log=True),
+            # frame log-probs stay factored (lv, ln); consumers compose them
+            # lazily (ops/verbnoun_compose.py) — the dense (T, n_act) tensor
+            # is never materialized
+            "frame_vlogp": jax.nn.log_softmax(frame_clogit[..., : self.n1], axis=-1),
+            "frame_nlogp": jax.nn.log_softmax(frame_clogit[..., self.n1 :], axis=-1),
             "seg_logp": combine_verb_noun(tdu["seg_clogit"], vids, nids, self.n1, apply_log=True),
             "action_logp": combine_verb_noun(action_clogit, vids, nids, self.n1, action=True, apply_log=True),
             "tdu_P": tdu["P"],
@@ -209,7 +217,8 @@ class UpdateBlockTDUVN(nn.Module):
         f2a_attn = jax.vmap(lambda a, s: a[:, s])(f2a_attn_seg, tdu["seg_id"])
 
         saves = {
-            "frame_logp": combine_verb_noun(frame_clogit, vids, nids, self.n1, apply_log=True),
+            "frame_vlogp": jax.nn.log_softmax(frame_clogit[..., : self.n1], axis=-1),
+            "frame_nlogp": jax.nn.log_softmax(frame_clogit[..., self.n1 :], axis=-1),
             "seg_logp": combine_verb_noun(tdu["seg_clogit"], vids, nids, self.n1, apply_log=True),
             "action_logp": combine_verb_noun(action_clogit, vids, nids, self.n1, action=True, apply_log=True),
             "f2a_attn": f2a_attn,

@@ -1,0 +1,180 @@
+"""Lazy verb/noun action composition.
+
+The epic model's action space is the outer composition of verb and noun
+heads: ``logp_a = lv[..., vids[a]] + ln[..., nids[a]]`` with ~3800 actions
+(blocks_SepVerbNoun.py:189-224).  The blocks save the *factored* log-probs
+(~400 dims) instead of the composed (T, n_act) tensors — at epic scale
+(T=24576) that keeps ~1.5 GB of per-block activations out of HBM.  The
+consumers never need the dense composition to persist:
+
+* frame loss gathers it at the label indices             -> composed_gather
+* the TDU segmentation and the decode fallback argmax it -> composed_argmax
+* the decode blends it with token votes and argmaxes     -> composed_decode
+* the smoothing loss reduces over it                     -> composed_smooth_loss
+
+By default (chunk >= n_act) each op makes ONE dense transient pass — XLA
+frees it immediately, and this measures as fast as the fully-dense design
+(45.5 ms vs 46 ms for a 24,576-frame epic video).  Passing a smaller
+``chunk`` streams over the action axis in O(T * chunk) memory for extreme T.
+The per-frame composition work itself (~3.3 ms per composed op at epic
+scale) is inherent VPU cost, confirmed by an action-vocabulary ablation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _num_chunks(n_act: int, chunk: int) -> int:
+    return -(-n_act // chunk)
+
+
+def _chunk_tables(vids, nids, chunk: int):
+    """Pad the action->verb/noun tables to a whole number of chunks."""
+    n_act = vids.shape[0]
+    n_pad = _num_chunks(n_act, chunk) * chunk - n_act
+    vp = jnp.pad(vids, (0, n_pad))
+    np_ = jnp.pad(nids, (0, n_pad))
+    valid = jnp.arange(n_act + n_pad) < n_act
+    return vp, np_, valid, n_act + n_pad
+
+
+def composed_gather(lv, ln, vids, nids, action_idx):
+    """logp of given action indices: lv[..., vids[a]] + ln[..., nids[a]].
+
+    lv: (..., n1); ln: (..., n2); action_idx: (...) int.  Returns (...).
+    """
+    v = jnp.take_along_axis(lv, vids[action_idx][..., None], axis=-1)[..., 0]
+    n = jnp.take_along_axis(ln, nids[action_idx][..., None], axis=-1)[..., 0]
+    return v + n
+
+
+def composed_argmax(lv, ln, vids, nids, chunk: int = 4096):
+    """argmax over actions of the composed log-prob.
+
+    lv: (B, T, n1), ln: (B, T, n2).  Returns (B, T) int32.
+
+    With ``chunk >= n_act`` (the default for epic's ~3800 actions) the
+    composition is one dense transient pass — it is consumed immediately, so
+    nothing persists in HBM; smaller chunks stream it for extreme T.
+    """
+    if chunk >= vids.shape[0]:
+        return jnp.argmax(lv[..., vids] + ln[..., nids], axis=-1).astype(jnp.int32)
+
+    vp, np_, valid, n_tot = _chunk_tables(vids, nids, chunk)
+    n_chunks = n_tot // chunk
+    B, T, _ = lv.shape
+    neg = jnp.asarray(-jnp.inf, lv.dtype)
+
+    def body(i, carry):
+        best_val, best_idx = carry
+        sl = jax.lax.dynamic_slice_in_dim(vp, i * chunk, chunk)
+        sn = jax.lax.dynamic_slice_in_dim(np_, i * chunk, chunk)
+        ok = jax.lax.dynamic_slice_in_dim(valid, i * chunk, chunk)
+        vals = lv[..., sl] + ln[..., sn]  # (B, T, chunk)
+        vals = jnp.where(ok, vals, neg)
+        local_best = jnp.max(vals, axis=-1)
+        local_idx = jnp.argmax(vals, axis=-1).astype(jnp.int32) + i * chunk
+        take = local_best > best_val
+        return jnp.where(take, local_best, best_val), jnp.where(take, local_idx, best_idx)
+
+    best_val0 = jnp.full((B, T), neg, lv.dtype)
+    best_idx0 = jnp.zeros((B, T), jnp.int32)
+    _, idx = jax.lax.fori_loop(0, n_chunks, body, (best_val0, best_idx0))
+    return idx
+
+
+def composed_decode(action_logp, a2f_attn, lv, ln, vids, nids, weight: float,
+                    token_mask, chunk: int = 4096):
+    """Two-branch verb/noun decode without materializing (T, n_act).
+
+    Equivalent to models/decode.py::decode_two_branch_logp on
+    frame_logp = compose(lv, ln): per frame, blend the voting token's
+    renormalized action probs with exp(composed logp) and argmax; fall back
+    to the composed argmax when every token predicts null.
+    """
+    B, M, C1 = action_logp.shape
+    null_id = C1 - 1
+    qtk_cpred = jnp.argmax(action_logp, axis=-1)
+    nonnull = (qtk_cpred != null_id) & token_mask
+    has_action = nonnull.any(axis=1)
+
+    qtk_prob = jnp.exp(action_logp[..., :-1])
+    qtk_prob = qtk_prob / jnp.maximum(qtk_prob.sum(axis=-1, keepdims=True), 1e-12)
+
+    neg = jnp.asarray(-jnp.inf, a2f_attn.dtype)
+    attn_masked = jnp.where(nonnull[:, None, :], a2f_attn, neg)
+    act_idx = jnp.argmax(attn_masked, axis=-1)  # (B, T) voting token
+
+    if chunk >= vids.shape[0]:
+        # dense transient blend (consumed by the argmax immediately)
+        fprob = jnp.exp(lv[..., vids] + ln[..., nids])
+        abranch = jax.vmap(lambda q, ai: q[ai])(qtk_prob, act_idx)
+        pred = jnp.argmax((1.0 - weight) * abranch + weight * fprob, axis=-1).astype(jnp.int32)
+        fallback = composed_argmax(lv, ln, vids, nids, chunk=chunk)
+        return jnp.where(has_action[:, None], pred, fallback)
+
+    vp, np_, valid, n_tot = _chunk_tables(vids, nids, chunk)
+    n_chunks = n_tot // chunk
+    B_, T, _ = lv.shape
+    # pad the token action-probs to the chunked width as well
+    qtk_prob = jnp.pad(qtk_prob, ((0, 0), (0, 0), (0, n_tot - qtk_prob.shape[2])))
+
+    def body(i, carry):
+        best_val, best_idx = carry
+        sl = jax.lax.dynamic_slice_in_dim(vp, i * chunk, chunk)
+        sn = jax.lax.dynamic_slice_in_dim(np_, i * chunk, chunk)
+        ok = jax.lax.dynamic_slice_in_dim(valid, i * chunk, chunk)
+        fchunk = jnp.exp(lv[..., sl] + ln[..., sn])  # (B, T, chunk)
+        qchunk = jax.lax.dynamic_slice_in_dim(qtk_prob, i * chunk, chunk, axis=2)
+        achunk = jax.vmap(lambda q, ai: q[ai])(qchunk, act_idx)  # (B, T, chunk)
+        vals = (1.0 - weight) * achunk + weight * fchunk
+        vals = jnp.where(ok, vals, -jnp.inf)
+        local_best = jnp.max(vals, axis=-1)
+        local_idx = jnp.argmax(vals, axis=-1).astype(jnp.int32) + i * chunk
+        take = local_best > best_val
+        return jnp.where(take, local_best, best_val), jnp.where(take, local_idx, best_idx)
+
+    best0 = jnp.full((B_, T), -jnp.inf, lv.dtype)
+    idx0 = jnp.zeros((B_, T), jnp.int32)
+    _, pred = jax.lax.fori_loop(0, n_chunks, body, (best0, idx0))
+
+    fallback = composed_argmax(lv, ln, vids, nids, chunk=chunk)
+    return jnp.where(has_action[:, None], pred, fallback)
+
+
+def composed_smooth_loss(lv, ln, vids, nids, pair_mask, chunk: int = 4096):
+    """Smoothing loss over the composed log-probs, streamed in chunks.
+
+    Matches losses.smooth_loss(frame_logp, pair_mask, is_logit=False) with
+    frame_logp = compose(lv, ln): mean over valid adjacent frame pairs and
+    all n_act composed classes of clip(diff^2, 0, 16).  Returns (B,).
+    """
+    n_act = vids.shape[0]
+    dlv = lv[:, 1:] - lv[:, :-1]  # (B, T-1, n1)
+    dln = ln[:, 1:] - ln[:, :-1]
+    pm = pair_mask.astype(lv.dtype)[..., None]
+
+    if chunk >= n_act:
+        d = dlv[..., vids] + dln[..., nids]
+        d = jnp.clip(d * d, 0.0, 16.0)
+        total = (d * pm).sum(axis=(1, 2))
+        denom = pair_mask.sum(axis=1) * n_act
+        return total / jnp.maximum(denom, 1e-12)
+
+    vp, np_, valid, n_tot = _chunk_tables(vids, nids, chunk)
+    n_chunks = n_tot // chunk
+
+    def body(i, acc):
+        sl = jax.lax.dynamic_slice_in_dim(vp, i * chunk, chunk)
+        sn = jax.lax.dynamic_slice_in_dim(np_, i * chunk, chunk)
+        ok = jax.lax.dynamic_slice_in_dim(valid, i * chunk, chunk)
+        d = dlv[..., sl] + dln[..., sn]  # (B, T-1, chunk)
+        d = jnp.clip(d * d, 0.0, 16.0) * ok
+        return acc + (d * pm).sum(axis=(1, 2))
+
+    acc0 = jnp.zeros(lv.shape[0], lv.dtype)
+    total = jax.lax.fori_loop(0, n_chunks, body, acc0)
+    denom = pair_mask.sum(axis=1) * n_act
+    return total / jnp.maximum(denom, 1e-12)

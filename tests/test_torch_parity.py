@@ -273,9 +273,12 @@ def test_verbnoun_forward_parity(ref_modules, tmp_path, monkeypatch):
         {"params": converted}, jnp.array(feats)[None], jnp.ones((1, T), bool),
         jnp.array([T], jnp.int32), train=False,
     )
+    jvids, jnids = jnp.array(vids), jnp.array(nids)
     for blk, (ours, ref) in enumerate(zip(saves, ref_blocks)):
+        # compose the factored frame log-probs densely for comparison
+        frame_logp = np.array(ours["frame_vlogp"][..., jvids] + ours["frame_nlogp"][..., jnids])
         np.testing.assert_allclose(
-            np.array(ours["frame_logp"])[0], ref["frame_logp"], atol=3e-4,
+            frame_logp[0], ref["frame_logp"], atol=3e-4,
             err_msg=f"block {blk} frame_logp",
         )
         np.testing.assert_allclose(
@@ -283,9 +286,12 @@ def test_verbnoun_forward_parity(ref_modules, tmp_path, monkeypatch):
             err_msg=f"block {blk} action_logp",
         )
 
-    pred = decode.decode_two_branch_logp(
-        saves[-1]["action_logp"], saves[-1]["a2f_attn"], saves[-1]["frame_logp"],
-        cfg.FACT.mwt, jnp.ones((1, cfg.FACT.ntoken), bool),
+    from fact_clip_tpu.ops.verbnoun_compose import composed_decode
+
+    pred = composed_decode(
+        saves[-1]["action_logp"], saves[-1]["a2f_attn"],
+        saves[-1]["frame_vlogp"], saves[-1]["frame_nlogp"], jvids, jnids,
+        cfg.FACT.mwt, jnp.ones((1, cfg.FACT.ntoken), bool), chunk=4,
     )
     agree = (np.array(pred)[0] == ref_pred).mean()
     assert agree > 0.99, f"decode agreement {agree}"

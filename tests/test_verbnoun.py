@@ -110,3 +110,45 @@ def test_verbnoun_training_smoke(epic_fixture, tmp_path):
     assert np.isfinite(m["AccB"])
     # factored verb/noun heads on a separable fixture must beat chance (1/6)
     assert m["AccB"] > 35.0, m
+
+
+def test_composed_ops_match_dense(rng):
+    """Chunked lazy composition == dense composition on small shapes."""
+    import jax
+
+    from fact_clip_tpu.models import losses
+    from fact_clip_tpu.ops import verbnoun_compose as vc
+
+    B, T, n1, n2, n_act = 2, 17, 4, 5, 11
+    vids = jnp.array(rng.integers(0, n1, n_act), jnp.int32)
+    nids = jnp.array(rng.integers(0, n2, n_act), jnp.int32)
+    lv = jax.nn.log_softmax(jnp.array(rng.normal(size=(B, T, n1)), jnp.float32), -1)
+    ln = jax.nn.log_softmax(jnp.array(rng.normal(size=(B, T, n2)), jnp.float32), -1)
+    dense = np.array(lv[..., vids] + ln[..., nids])  # (B, T, n_act)
+
+    # argmax
+    idx = np.array(vc.composed_argmax(lv, ln, vids, nids, chunk=3))
+    np.testing.assert_array_equal(idx, dense.argmax(-1))
+
+    # gather
+    labels = jnp.array(rng.integers(0, n_act, (B, T)), jnp.int32)
+    g = np.array(vc.composed_gather(lv, ln, vids, nids, labels))
+    expected = np.take_along_axis(dense, np.array(labels)[..., None], axis=-1)[..., 0]
+    np.testing.assert_allclose(g, expected, atol=1e-6)
+
+    # smooth loss vs the dense implementation
+    pair_mask = jnp.ones((B, T - 1), bool)
+    ours = np.array(vc.composed_smooth_loss(lv, ln, vids, nids, pair_mask, chunk=3))
+    ref = np.array(losses.smooth_loss(jnp.array(dense), pair_mask, is_logit=False))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    # decode vs the dense log-prob decode
+    M = 6
+    action_logp = jax.nn.log_softmax(jnp.array(rng.normal(size=(B, M, n_act + 1)), jnp.float32), -1)
+    a2f = jax.nn.softmax(jnp.array(rng.normal(size=(B, T, M)), jnp.float32), -1)
+    tm = jnp.ones((B, M), bool)
+    from fact_clip_tpu.models import decode as dec
+
+    ref_pred = np.array(dec.decode_two_branch_logp(action_logp, a2f, jnp.array(dense), 0.1, tm))
+    ours_pred = np.array(vc.composed_decode(action_logp, a2f, lv, ln, vids, nids, 0.1, tm, chunk=3))
+    np.testing.assert_array_equal(ours_pred, ref_pred)
