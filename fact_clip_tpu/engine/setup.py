@@ -71,6 +71,9 @@ def build_clip_bundle(cfg, text_embeddings: np.ndarray, holdout_classes) -> dict
 
 
 def build_experiment(cfg, text_embeddings: np.ndarray | None = None, seed: int = 0) -> Experiment:
+    if cfg.TPU.matmul_precision:
+        jax.config.update("jax_default_matmul_precision", cfg.TPU.matmul_precision)
+
     dataset, test_dataset = create_dataset(cfg)
     buckets, seg_cap = scan_dataset_caps([dataset, test_dataset], cfg)
     max_len = buckets[-1]

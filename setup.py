@@ -11,6 +11,8 @@ setup(
     version="0.1.0",
     description="TPU-native temporal action segmentation (FACT / FACT_CLIP capabilities) in JAX",
     packages=find_packages(include=["fact_clip_tpu", "fact_clip_tpu.*"]),
+    package_data={"fact_clip_tpu.configs": ["*.yaml"]},
+    include_package_data=True,
     python_requires=">=3.10",
     install_requires=[
         "jax",
