@@ -165,3 +165,34 @@ def test_training_streaming_features(fixture_base, tmp_path):
     state, best_ckpt = run_train(cfg, base_dir=str(tmp_path))
     assert best_ckpt is not None
     assert np.isfinite(best_ckpt.metrics["AccB"])
+
+
+def test_crash_resume_continues_from_checkpoint(fixture_base, tmp_path, capsys):
+    """Crash-restart contract: after an interrupted run (no FINISH_PROOF),
+    resume='max' loads the newest network.iter-N and continues from there."""
+    cfg = smoke_cfg(fixture_base, block="iu")
+    cfg.epoch = 4
+    cfg.aux.print_every = 4
+    cfg.aux.eval_every = 4  # checkpoint every 4 steps (2 steps/epoch)
+    cfg.aux.resume = ""
+    cfg.aux.logdir = "log/resume_smoke"
+    run_train(cfg, base_dir=str(tmp_path))
+
+    logdir = os.path.join(str(tmp_path), cfg.aux.logdir)
+    ckpts = [f for f in os.listdir(os.path.join(logdir, "ckpts")) if f.startswith("network.iter-")]
+    assert ckpts
+    # simulate a crash: the run never wrote its completion marker
+    os.remove(os.path.join(logdir, "FINISH_PROOF"))
+
+    cfg2 = smoke_cfg(fixture_base, block="iu")
+    cfg2.epoch = 6
+    cfg2.aux.print_every = 4
+    cfg2.aux.eval_every = 4
+    cfg2.aux.resume = "max"
+    cfg2.aux.logdir = "log/resume_smoke"
+    run_train(cfg2, base_dir=str(tmp_path))
+    out = capsys.readouterr().out
+    assert "Resume from" in out
+    # resumed past epoch 0: latest ckpt was at step 8 (epoch 4), 2 steps/epoch
+    assert "Start Training from Epoch 4..." in out
+    assert os.path.exists(os.path.join(logdir, "FINISH_PROOF"))
