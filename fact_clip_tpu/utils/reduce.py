@@ -43,3 +43,19 @@ def easy_reduce(scores, mode: str = "mean", skip_nan: bool = False):
         raise ValueError(f"Unknown reduce mode {mode!r}")
 
     raise TypeError("Unsupported data type %s" % type(first))
+
+
+def egoprocel_vname2dataset(vname: str) -> str:
+    """Source dataset of an EgoProceL video from its name
+    (/root/reference/fact_clip/utils/utils.py:142-154)."""
+    if "tent" in vname:
+        return "EPIC"
+    if vname.startswith("S"):
+        return "CMU"
+    if "Head" in vname:
+        return "PC"
+    if vname.startswith("OP") or vname.startswith("P"):
+        return "EGTEA"
+    if vname.startswith("00"):
+        return "MECCANO"
+    raise ValueError(vname)

@@ -185,3 +185,15 @@ def test_checkpoint_detailed_json(tmp_path):
 
     data = json.loads(f.read_text())
     assert data["per_video_results"]["v"]["gt_label"] == [0, 0, 1, 1]
+
+
+def test_egoprocel_vname2dataset():
+    from fact_clip_tpu.utils.reduce import egoprocel_vname2dataset
+
+    assert egoprocel_vname2dataset("tent_video_3") == "EPIC"
+    assert egoprocel_vname2dataset("S07_brownie") == "CMU"
+    assert egoprocel_vname2dataset("Head_22") == "PC"
+    assert egoprocel_vname2dataset("OP01-R01") == "EGTEA"
+    assert egoprocel_vname2dataset("0001_meccano") == "MECCANO"
+    with pytest.raises(ValueError):
+        egoprocel_vname2dataset("zzz")
