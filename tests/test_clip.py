@@ -173,3 +173,32 @@ def test_fact_clip_holdout_training(clip_fixture, tmp_path):
     logdir = os.path.join(str(tmp_path), cfg.aux.logdir)
     saves = os.listdir(os.path.join(logdir, "saves"))
     assert any(f.endswith("_detailed.json") for f in saves)
+
+
+def test_text_embedding_cache_roundtrip(tmp_path):
+    """Cached text embeddings load from both .pt (reference format) and .npy."""
+    import torch
+
+    from fact_clip_tpu.configs.default import get_cfg_defaults
+    from fact_clip_tpu.data.text_embeddings import (
+        get_or_compute_text_embeddings,
+        load_text_embeddings,
+        save_text_embeddings,
+    )
+
+    emb = np.random.default_rng(0).normal(size=(7, 16)).astype(np.float32)
+
+    pt = str(tmp_path / "cache.pt")
+    torch.save(torch.from_numpy(emb), pt)  # the reference's cache format
+    np.testing.assert_allclose(load_text_embeddings(pt), emb)
+
+    npy = str(tmp_path / "cache.npy")
+    save_text_embeddings(emb, npy)
+    np.testing.assert_allclose(load_text_embeddings(npy), emb)
+
+    # get_or_compute with an existing cache short-circuits (no HF download)
+    cfg = get_cfg_defaults()
+    cfg.use_clip = True
+    cfg.CLIP.text_emb_path = pt
+    out = get_or_compute_text_embeddings(cfg, {}, {}, base=str(tmp_path))
+    np.testing.assert_allclose(out, emb)
