@@ -53,6 +53,116 @@ def _make_videos(n, rng):
     return vids
 
 
+def _bench_batch(rng, with_labels=False):
+    """HAViD-scale synthetic batch (BATCH x BUCKET, valid prefix T_VIDEO)."""
+    feats = np.zeros((BATCH, BUCKET, D), np.float32)
+    mask = np.zeros((BATCH, BUCKET), bool)
+    for b in range(BATCH):
+        feats[b, :T_VIDEO] = rng.normal(size=(T_VIDEO, D)).astype(np.float32)
+        mask[b, :T_VIDEO] = True
+    lengths = np.full((BATCH,), T_VIDEO, np.int32)
+    if not with_labels:
+        return feats, mask, lengths
+
+    from fact_clip_tpu.utils.segments import class_label_to_segment_data
+
+    S = 24  # transcript cap (~HAViD segment counts)
+    labels = np.zeros((BATCH, BUCKET), np.int32)
+    seg_label = np.zeros((BATCH, BUCKET), np.int32)
+    transcript = np.zeros((BATCH, S), np.int32)
+    seg_mask = np.zeros((BATCH, S), bool)
+    for b in range(BATCH):
+        n_seg = 16
+        cuts = np.sort(rng.choice(np.arange(1, T_VIDEO), n_seg - 1, replace=False))
+        bounds = np.concatenate([[0], cuts, [T_VIDEO]])
+        prev = -1
+        for k in range(n_seg):
+            c = int(rng.integers(0, C))
+            while c == prev:
+                c = int(rng.integers(0, C))
+            labels[b, bounds[k] : bounds[k + 1]] = c
+            prev = c
+        tr, sl = class_label_to_segment_data(labels[b, :T_VIDEO])
+        seg_label[b, :T_VIDEO] = sl
+        seg_label[b, T_VIDEO:] = sl[-1]
+        labels[b, T_VIDEO:] = labels[b, T_VIDEO - 1]
+        transcript[b, : len(tr)] = tr
+        seg_mask[b, : len(tr)] = True
+    return dict(
+        feats=feats, mask=mask, lengths=lengths, labels=labels,
+        seg_label=seg_label, transcript=transcript, seg_mask=seg_mask,
+    )
+
+
+def measure_ours_train():
+    """Training frames/s/chip: full train step (forward, on-device auction
+    matching, all losses, backward, SGD update, train-time decode) chained
+    inside one jitted scan, dropout active (the production recipes train with
+    dropout 0.2-0.5, exercising the in-kernel Pallas dropout path)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from fact_clip_tpu.engine.state import create_train_state
+    from fact_clip_tpu.engine.steps import make_step_fns
+    from fact_clip_tpu.models.blocks import build_fact
+    from __graft_entry__ import _make_cfg
+
+    cfg = _make_cfg(small=False)
+    cfg.FACT.ntoken = NTOKEN
+    cfg.TPU.pallas = True
+    cfg.Bi.dropout = 0.2  # havid recipe
+    cfg.TPU.matcher = "auction"
+    model = build_fact(cfg, D, C, s_pred_cap=128)
+
+    rng = np.random.default_rng(0)
+    b = _bench_batch(rng, with_labels=True)
+    batch = {k: jax.device_put(jnp.asarray(v)) for k, v in b.items()}
+
+    params = jax.jit(
+        lambda k: model.init(
+            {"params": k, "dropout": k, "aug": k},
+            batch["feats"], batch["mask"], batch["lengths"], train=False,
+        )
+    )(jax.random.PRNGKey(0))["params"]
+    state = create_train_state(model, params, cfg, steps_per_epoch=100)
+    train_step, _ = make_step_fns(model, cfg, C, np.ones((C + 1,), np.float32))
+    step_fn = train_step.unjitted
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def chained(state, batch, n):
+        def body(carry, i):
+            state = carry
+            state, out = step_fn(state, batch, jax.random.fold_in(jax.random.PRNGKey(7), i))
+            return state, out["loss"]
+        state, losses_ = jax.lax.scan(body, state, jnp.arange(n))
+        return state, losses_.sum()
+
+    log(f"compiling train step on {jax.default_backend()} ...")
+    n1, n2 = 2, 8
+
+    def best_time(n, reps=3):
+        _, s = chained(state, batch, n)
+        np.asarray(s)  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _, s = chained(state, batch, n)
+            np.asarray(s)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = best_time(n1)
+    t2 = best_time(n2)
+    step_s = (t2 - t1) / (n2 - n1)
+    n_chips = jax.local_device_count()
+    fps = BATCH * T_VIDEO / step_s / n_chips
+    log(f"ours train: {step_s * 1000:.2f} ms/step ({BATCH} x {T_VIDEO} frames) "
+        f"-> {fps:.0f} frames/s/chip")
+    return fps
+
+
 def measure_ours():
     import functools
 
@@ -69,12 +179,7 @@ def measure_ours():
     model = build_fact(cfg, D, C, s_pred_cap=128)
 
     rng = np.random.default_rng(0)
-    feats = np.zeros((BATCH, BUCKET, D), np.float32)
-    mask = np.zeros((BATCH, BUCKET), bool)
-    for b in range(BATCH):
-        feats[b, :T_VIDEO] = rng.normal(size=(T_VIDEO, D)).astype(np.float32)
-        mask[b, :T_VIDEO] = True
-    lengths = np.full((BATCH,), T_VIDEO, np.int32)
+    feats, mask, lengths = _bench_batch(rng)
 
     params = jax.jit(
         lambda k: model.init({"params": k}, feats, mask, lengths, train=False)
@@ -196,39 +301,125 @@ def measure_reference():
             sys.path.remove(ref_path)
 
 
+def measure_reference_train():
+    """Time the reference training hot loop (train.py:255-268: forward with
+    compute_loss, backward, grad clip, SGD step) on this host's CPU."""
+    ref_path = "/root/reference"
+    if not os.path.isdir(ref_path):
+        return None
+    try:
+        import types
+
+        import fact_clip_tpu.configs.node as node
+
+        yacs = types.ModuleType("yacs")
+        yacs_config = types.ModuleType("yacs.config")
+        yacs_config.CfgNode = node.CfgNode
+        yacs.config = yacs_config
+        sys.modules.setdefault("yacs", yacs)
+        sys.modules.setdefault("yacs.config", yacs_config)
+
+        sys.path.insert(0, ref_path)
+        import torch
+
+        from fact_clip.configs.default import get_cfg_defaults as ref_defaults
+        from fact_clip.models.blocks import FACT as RefFACT
+
+        cfg = ref_defaults()
+        cfg.FACT.block = "iuUU"
+        cfg.FACT.ntoken = NTOKEN
+        cfg.FACT.fpos = False
+        cfg.FACT.cmr = 0.3
+        cfg.Bi.hid_dim = 512
+        cfg.Bi.a_dim = 256
+        cfg.Bi.a_ffdim = 512
+        cfg.Bi.a_layers = 6
+        cfg.Bi.a_nhead = 8
+        cfg.Bi.f = "m"
+        cfg.Bi.f_dim = 256
+        cfg.Bi.f_layers = 10
+        cfg.Bi.f_ln = False
+        cfg.Bi.f_ngp = 1
+        cfg.Bi.dropout = 0.2
+        cfg.Loss.nullw = 0.1
+
+        net = RefFACT(cfg, D, C).train()
+        opt = torch.optim.SGD(net.parameters(), lr=0.01, momentum=0.009)
+
+        rng = np.random.default_rng(0)
+        vids = _make_videos(N_VIDEOS_REF, rng)
+        seqs = [torch.from_numpy(f) for f, _ in vids]
+        labs = [torch.from_numpy(l) for _, l in vids]
+
+        def one_step(ss, ll):
+            opt.zero_grad()
+            loss, _ = net(ss, ll, compute_loss=True)
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(net.parameters(), cfg.clip_grad_norm)
+            opt.step()
+
+        one_step([seqs[0]], [labs[0]])  # warmup
+        t0 = time.perf_counter()
+        one_step(seqs, labs)
+        dt = time.perf_counter() - t0
+        frames = sum(len(l) for l in labs)
+        fps = frames / dt
+        log(f"reference train (torch CPU): {frames} frames in {dt:.3f}s -> {fps:.0f} frames/s")
+        return fps
+    except Exception as e:  # noqa: BLE001
+        log(f"reference train measurement failed: {e}")
+        return None
+    finally:
+        if ref_path in sys.path:
+            sys.path.remove(ref_path)
+
+
 def get_reference_fps():
+    data = {}
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             data = json.load(f)
-        if data.get("workload") == [D, C, NTOKEN, T_VIDEO]:
-            log(f"using cached reference fps: {data['reference_cpu_fps']:.0f}")
-            return data["reference_cpu_fps"]
-    fps = measure_reference()
-    if fps is not None:
+        if data.get("workload") != [D, C, NTOKEN, T_VIDEO]:
+            data = {}
+    changed = False
+    if "reference_cpu_fps" not in data:
+        fps = measure_reference()
+        if fps is not None:
+            data["reference_cpu_fps"] = fps
+            changed = True
+    else:
+        log(f"using cached reference fps: {data['reference_cpu_fps']:.0f}")
+    if "reference_cpu_train_fps" not in data:
+        tfps = measure_reference_train()
+        if tfps is not None:
+            data["reference_cpu_train_fps"] = tfps
+            changed = True
+    else:
+        log(f"using cached reference train fps: {data['reference_cpu_train_fps']:.0f}")
+    if changed and data:
+        data["workload"] = [D, C, NTOKEN, T_VIDEO]
+        data["note"] = ("reference torch implementation measured on this host's CPU "
+                        "(no reference GPU available in this environment)")
         with open(CACHE, "w") as f:
-            json.dump(
-                {
-                    "workload": [D, C, NTOKEN, T_VIDEO],
-                    "reference_cpu_fps": fps,
-                    "note": "reference torch implementation measured on this host's CPU "
-                    "(no reference GPU available in this environment)",
-                },
-                f,
-                indent=2,
-            )
-    return fps
+            json.dump(data, f, indent=2)
+    return data.get("reference_cpu_fps"), data.get("reference_cpu_train_fps")
 
 
 def main():
-    ref_fps = get_reference_fps()
+    ref_fps, ref_train_fps = get_reference_fps()
+    train_fps = measure_ours_train()
     fps = measure_ours()
     vs = fps / ref_fps if ref_fps else 0.0
-    print(json.dumps({
+    result = {
         "metric": "frames_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(vs, 2),
-    }))
+        "train_frames_per_sec_per_chip": round(train_fps, 1),
+    }
+    if ref_train_fps:
+        result["train_vs_baseline"] = round(train_fps / ref_train_fps, 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -131,6 +131,9 @@ Loss.match = "o2o"  # one-to-one(o2o) or one-to-many(o2m) or sequential(seq)
 Loss.bgw = 1.0  # weight for background class
 Loss.nullw = -1.0  # weight for null class in action token; -1 -> auto-compute
 Loss.sw = 0.0  # weight for smoothing loss
+# reproduce the reference's segment-weight permutation in cross-attention
+# losses (loss.py:218-219) exactly — only differs when bgw != 1 (egoprocel)
+Loss.ref_weight_order = False
 
 #########################
 # temporal masking

@@ -91,7 +91,10 @@ def make_step_fns(model, cfg, nclasses: int, cweight, clip_bundle=None, verbnoun
         if verbnoun:
             per_video = losses.verbnoun_fact_loss(saves, batch, seg2tok, cweight, sw, vn_vids, vn_nids)
         else:
-            per_video = losses.fact_loss(saves, batch, seg2tok, cweight, sw, token_mask=token_mask)
+            per_video = losses.fact_loss(
+                saves, batch, seg2tok, cweight, sw, token_mask=token_mask,
+                ref_weight_order=bool(getattr(loss_cfg, "ref_weight_order", False)),
+            )
         aux = {"fact_loss": per_video}
         if use_clip:
             labels = clip_bundle["label_map"][batch["labels"]]  # remap to seen subset
@@ -114,8 +117,7 @@ def make_step_fns(model, cfg, nclasses: int, cweight, clip_bundle=None, verbnoun
         # frame feature for vanilla FACT (unused there)
         return saves, (tail if use_clip else None)
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def train_step(state, batch, rng):
+    def train_step_fn(state, batch, rng):
         rngs = {"dropout": jax.random.fold_in(rng, 0), "aug": jax.random.fold_in(rng, 1)}
 
         def loss_fn(params):
@@ -130,6 +132,11 @@ def make_step_fns(model, cfg, nclasses: int, cweight, clip_bundle=None, verbnoun
         for k, v in aux.items():
             out[k] = v
         return state, out
+
+    train_step = jax.jit(train_step_fn, donate_argnums=0)
+    # bench.py chains steps inside one lax.scan (the dev relay has ~25 ms
+    # dispatch latency); expose the unjitted body for that
+    train_step.unjitted = train_step_fn
 
     @jax.jit
     def eval_step(params, batch):

@@ -56,11 +56,13 @@ class BlockCfg:
     f_ngp: int
     s_layers: int = 1
     pallas: bool = False
+    dtype: str = ""  # "" = float32; "bfloat16" = mixed precision (layers.py policy)
 
 
-def _block_cfg_from(node, kind: str, pallas: bool = False) -> BlockCfg:
+def _block_cfg_from(node, kind: str, pallas: bool = False, dtype: str = "") -> BlockCfg:
     return BlockCfg(
         pallas=pallas,
+        dtype=dtype,
         kind=kind,
         hid_dim=node.hid_dim,
         dropout=float(node.dropout),
@@ -87,23 +89,34 @@ def _want_pallas(cfg) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _compute_dtype(cfg) -> str:
+    if "TPU" not in cfg:
+        return ""
+    d = cfg.TPU.compute_dtype
+    if d in ("", "float32", None):
+        return ""
+    assert d == "bfloat16", f"Unsupported TPU.compute_dtype {d!r}"
+    return d
+
+
 def resolve_block_cfgs(cfg) -> Tuple[BlockCfg, ...]:
     """Sequential Bi -> Bu -> BU None-inheritance (blocks.py:36-52)."""
     cfg = cfg.clone()
     pallas = _want_pallas(cfg)
+    dtype = _compute_dtype(cfg)
     base = cfg.Bi
     out = []
     for t in cfg.FACT.block:
         if t in ("i", "I"):
-            out.append(_block_cfg_from(cfg.Bi, t, pallas))
+            out.append(_block_cfg_from(cfg.Bi, t, pallas, dtype))
         elif t == "u":
             update_from(cfg.Bu, base, inplace=True)
             base = cfg.Bu
-            out.append(_block_cfg_from(cfg.Bu, t, pallas))
+            out.append(_block_cfg_from(cfg.Bu, t, pallas, dtype))
         elif t == "U":
             update_from(cfg.BU, base, inplace=True)
             base = cfg.BU
-            out.append(_block_cfg_from(cfg.BU, t, pallas))
+            out.append(_block_cfg_from(cfg.BU, t, pallas, dtype))
         else:
             raise ValueError(f"Unknown block type {t!r}")
     return tuple(out)
@@ -125,6 +138,10 @@ def process_feature(feature: jnp.ndarray, nclass: int):
     return jnp.concatenate([feat, cprob], axis=-1), clogit
 
 
+def _jdtype(c: BlockCfg):
+    return jnp.bfloat16 if c.dtype == "bfloat16" else None
+
+
 def make_fbranch(c: BlockCfg, in_dim: Optional[int], name: str):
     f_inmap = in_dim is not None
     in_dim = c.f_dim if in_dim is None else in_dim
@@ -132,12 +149,12 @@ def make_fbranch(c: BlockCfg, in_dim: Optional[int], name: str):
         return L.MSTCN(
             in_dim=in_dim, hid_dim=c.f_dim, out_dim=c.hid_dim, num_layers=c.f_layers,
             dropout=c.dropout, ln=c.f_ln, ngroup=c.f_ngp, in_map=f_inmap,
-            use_pallas=c.pallas, name=name,
+            use_pallas=c.pallas, dtype=_jdtype(c), name=name,
         )
     if c.f == "m2":
         return L.MSTCN2(
             in_dim=in_dim, hid_dim=c.f_dim, out_dim=c.hid_dim, num_layers=c.f_layers,
-            dropout=c.dropout, ngroup=c.f_ngp, in_map=f_inmap, name=name,
+            dropout=c.dropout, ngroup=c.f_ngp, in_map=f_inmap, dtype=_jdtype(c), name=name,
         )
     raise ValueError(f"Unknown frame branch {c.f!r}")
 
@@ -146,12 +163,13 @@ def make_abranch(c: BlockCfg, trans: bool, name: str):
     if c.a == "sa":
         return L.SADecoder(
             in_dim=c.a_dim, hid_dim=c.a_dim, out_dim=c.hid_dim, num_layers=c.a_layers,
-            nhead=c.a_nhead, ffdim=c.a_ffdim, dropout=c.dropout, name=name,
+            nhead=c.a_nhead, ffdim=c.a_ffdim, dropout=c.dropout, dtype=_jdtype(c), name=name,
         )
     if c.a == "sca":
         return L.SCADecoder(
             in_dim=c.a_dim, hid_dim=c.a_dim, out_dim=c.hid_dim, frame_dim=c.hid_dim,
-            num_layers=c.a_layers, nhead=c.a_nhead, ffdim=c.a_ffdim, dropout=c.dropout, name=name,
+            num_layers=c.a_layers, nhead=c.a_nhead, ffdim=c.a_ffdim, dropout=c.dropout,
+            dtype=_jdtype(c), name=name,
         )
     if c.a in ("gru", "gru_om"):
         assert trans, "GRU action branch requires transcript mode"
@@ -165,7 +183,7 @@ def make_abranch(c: BlockCfg, trans: bool, name: str):
 def make_x2y(c: BlockCfg, outdim: int, name: str):
     return L.X2YMap(
         x_dim=c.hid_dim, y_dim=c.hid_dim, y_outdim=outdim, head_dim=c.hid_dim,
-        dropout=c.dropout, kq_pos=True, name=name,
+        dropout=c.dropout, kq_pos=True, dtype=_jdtype(c), name=name,
     )
 
 

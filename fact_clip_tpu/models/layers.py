@@ -22,11 +22,21 @@ encoding (:67-129) — redesigned for TPU:
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Mixed precision policy (cfg.TPU.compute_dtype="bfloat16"): modules take a
+# ``dtype`` attribute (None = float32 everywhere).  Heavy matmuls/convs and
+# the TCN inter-layer stream run in ``dtype`` with float32 accumulation
+# (``preferred_element_type``); softmax, LayerNorm statistics, and every
+# logit-producing output dense stay float32, so saves/losses are float32.
+
+
+def _cast(x, dtype):
+    return x if dtype is None else x.astype(dtype)
 
 # --------------------------------------------------------------------------
 # torch-style initializers
@@ -63,9 +73,14 @@ def uniform_init(bound):
 
 
 class TorchDense(nn.Module):
-    """nn.Dense with torch nn.Linear default initialization."""
+    """nn.Dense with torch nn.Linear default initialization.
+
+    ``dtype`` is the computation dtype (params stay float32); None keeps
+    full float32.
+    """
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -74,6 +89,7 @@ class TorchDense(nn.Module):
             self.features,
             kernel_init=torch_linear_kernel_init,
             bias_init=torch_linear_bias_init(in_dim),
+            dtype=self.dtype,
         )(x)
 
 
@@ -146,6 +162,7 @@ class DilatedResidualLayer(nn.Module):
     layernorm: bool = True
     ngroup: int = 1
     use_pallas: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
@@ -158,30 +175,38 @@ class DilatedResidualLayer(nn.Module):
             gamma = self.param("ln_scale", nn.initializers.ones, (C,))
             beta = self.param("ln_bias", nn.initializers.zeros, (C,))
 
-        xm = x * mask[:, :, None]
+        xm = _cast(x, self.dtype) * mask[:, :, None].astype(self.dtype or x.dtype)
 
-        # fused path: inference always; training too when the layer has no
-        # dropout (the custom VJP covers gradients; dropout would need rng
-        # inside the kernel)
-        if self.use_pallas and g == 1 and (deterministic or self.dropout == 0.0):
+        # fused path (ungrouped): inference and training both.  Training
+        # dropout runs inside the kernel from the on-core PRNG, seeded from
+        # the flax dropout rng; the custom VJP regenerates the mask.
+        if self.use_pallas and g == 1:
             from ..ops.pallas.dilated_conv import dilated_residual_layer
 
+            rate = 0.0 if deterministic else float(self.dropout)
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+                )
+            else:
+                seed = None
             return dilated_residual_layer(
-                xm, kernel, kbias, w1, b1,
-                gamma if self.layernorm else jnp.ones((C,), x.dtype),
-                beta if self.layernorm else jnp.zeros((C,), x.dtype),
+                xm, _cast(kernel, self.dtype), kbias, _cast(w1, self.dtype), b1,
+                gamma if self.layernorm else jnp.ones((C,), jnp.float32),
+                beta if self.layernorm else jnp.zeros((C,), jnp.float32),
                 dilation=self.dilation, use_ln=self.layernorm,
+                rate=rate, seed=seed,
             )
 
-        out = jax.nn.relu(_dilated_conv(xm, kernel, kbias, self.dilation, g))
-        out = out @ w1 + b1  # the 1x1 conv is a pointwise dense
+        out = jax.nn.relu(_dilated_conv(xm, _cast(kernel, self.dtype), kbias, self.dilation, g))
+        out = _cast(out, self.dtype) @ _cast(w1, self.dtype) + b1  # the 1x1 conv is pointwise
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        x = xm + out
+        x = (xm + out).astype(jnp.float32)  # LayerNorm statistics in f32
         if self.layernorm:
             mean = x.mean(axis=-1, keepdims=True)
             var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
             x = (x - mean) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
-        return x
+        return _cast(x, self.dtype)
 
 
 class MSTCN(nn.Module):
@@ -197,11 +222,12 @@ class MSTCN(nn.Module):
     ngroup: int = 1
     in_map: bool = False
     use_pallas: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
         if self.in_map:
-            x = TorchDense(self.hid_dim)(x)
+            x = TorchDense(self.hid_dim, dtype=self.dtype)(x)
         else:
             assert self.in_dim == self.hid_dim
         for i in range(self.num_layers):
@@ -212,8 +238,10 @@ class MSTCN(nn.Module):
                 layernorm=self.ln,
                 ngroup=self.ngroup,
                 use_pallas=self.use_pallas,
+                dtype=self.dtype,
             )(x, mask, deterministic)
-        return TorchDense(self.out_dim)(x)
+        # output dense stays float32: its trailing dims are class logits
+        return TorchDense(self.out_dim)(x.astype(jnp.float32))
 
 
 class MSTCN2(nn.Module):
@@ -227,16 +255,17 @@ class MSTCN2(nn.Module):
     dilation_factor: int = 2
     ngroup: int = 1
     in_map: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
         if self.in_map:
-            f = TorchDense(self.hid_dim)(x)
+            f = TorchDense(self.hid_dim, dtype=self.dtype)(x)
         else:
             assert self.in_dim == self.hid_dim
-            f = x
+            f = _cast(x, self.dtype)
         C, g = self.hid_dim, self.ngroup
-        m = mask[:, :, None]
+        m = mask[:, :, None].astype(f.dtype)
         for i in range(self.num_layers):
             d1 = self.dilation_factor ** (self.num_layers - 1 - i)
             d2 = self.dilation_factor**i
@@ -247,13 +276,14 @@ class MSTCN2(nn.Module):
             f_in = f
             fm = f * m
             cat = jnp.concatenate(
-                [_dilated_conv(fm, k1, b1, d1, g), _dilated_conv(fm, k2, b2, d2, g)], axis=-1
+                [_dilated_conv(fm, _cast(k1, self.dtype), b1, d1, g),
+                 _dilated_conv(fm, _cast(k2, self.dtype), b2, d2, g)], axis=-1
             )
-            f = jax.nn.relu(TorchDense(C)(cat))
+            f = jax.nn.relu(TorchDense(C, dtype=self.dtype)(cat))
             if i != self.num_layers - 1:
                 f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
-            f = f + f_in
-        return TorchDense(self.out_dim)(f)
+            f = _cast(f, self.dtype) + f_in
+        return TorchDense(self.out_dim)(f.astype(jnp.float32))
 
 
 # --------------------------------------------------------------------------
@@ -266,6 +296,7 @@ class MultiHeadAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, query, key, value, key_mask=None, deterministic: bool = True):
@@ -275,9 +306,9 @@ class MultiHeadAttention(nn.Module):
         xavier = nn.initializers.xavier_uniform()
         zeros = nn.initializers.zeros
 
-        q = nn.Dense(E, kernel_init=xavier, bias_init=zeros, name="q_proj")(query)
-        k = nn.Dense(E, kernel_init=xavier, bias_init=zeros, name="k_proj")(key)
-        v = nn.Dense(E, kernel_init=xavier, bias_init=zeros, name="v_proj")(value)
+        q = nn.Dense(E, kernel_init=xavier, bias_init=zeros, dtype=self.dtype, name="q_proj")(query)
+        k = nn.Dense(E, kernel_init=xavier, bias_init=zeros, dtype=self.dtype, name="k_proj")(key)
+        v = nn.Dense(E, kernel_init=xavier, bias_init=zeros, dtype=self.dtype, name="v_proj")(value)
 
         B, Nq, _ = q.shape
         Nk = k.shape[1]
@@ -285,12 +316,18 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(B, Nk, H, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, Nk, H, hd).transpose(0, 2, 1, 3)
 
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
+        # logits accumulate in f32; softmax in f32 for stability
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(hd)
         if key_mask is not None:
             logits = jnp.where(key_mask[:, None, None, :], logits, -jnp.inf)
         probs = jax.nn.softmax(logits, axis=-1)
         probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", _cast(probs, self.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
         out = out.transpose(0, 2, 1, 3).reshape(B, Nq, E)
         out = nn.Dense(
             E, kernel_init=torch_linear_kernel_init, bias_init=zeros, name="out_proj"
@@ -314,23 +351,30 @@ class X2YMap(nn.Module):
     head_dim: int
     dropout: float = 0.5
     kq_pos: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x_feat, y_feat, x_pos=None, y_pos=None, x_mask=None, deterministic=True):
         xk_in = add_pos(x_feat, x_pos) if (x_pos is not None and self.kq_pos) else x_feat
         yq_in = add_pos(y_feat, y_pos) if (y_pos is not None and self.kq_pos) else y_feat
 
-        xk = TorchDense(self.head_dim)(xk_in)
-        xv = TorchDense(self.head_dim)(x_feat)
-        yq = TorchDense(self.head_dim)(yq_in)
+        xk = TorchDense(self.head_dim, dtype=self.dtype)(xk_in)
+        xv = TorchDense(self.head_dim, dtype=self.dtype)(x_feat)
+        yq = TorchDense(self.head_dim, dtype=self.dtype)(yq_in)
 
-        logits = jnp.einsum("byd,bxd->byx", yq, xk) / math.sqrt(self.head_dim)
+        # logits/probs stay f32 — they are materialized for losses and decode
+        logits = jnp.einsum(
+            "byd,bxd->byx", yq, xk, preferred_element_type=jnp.float32
+        ) / math.sqrt(self.head_dim)
         if x_mask is not None:
             logits = jnp.where(x_mask[:, None, :], logits, -jnp.inf)
         probs = jax.nn.softmax(logits, axis=-1)
 
-        attn_feat = jnp.einsum("byx,bxh->byh", probs, xv)
-        concat = jnp.concatenate([y_feat, attn_feat], axis=-1)
+        attn_feat = jnp.einsum(
+            "byx,bxh->byh", _cast(probs, self.dtype), xv,
+            preferred_element_type=jnp.float32,
+        )
+        concat = jnp.concatenate([y_feat, attn_feat.astype(y_feat.dtype)], axis=-1)
         concat = nn.Dropout(self.dropout)(concat, deterministic=deterministic)
         y_out = TorchDense(self.y_outdim)(concat)
 
@@ -348,20 +392,21 @@ class SALayer(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     attn_dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, tgt, key, value, query_pos=None, key_pos=None, key_mask=None, deterministic=True):
         query = add_pos(tgt, query_pos)
         key = add_pos(key, key_pos)
-        tgt2 = MultiHeadAttention(self.q_dim, self.nhead, self.attn_dropout)(
+        tgt2 = MultiHeadAttention(self.q_dim, self.nhead, self.attn_dropout, dtype=self.dtype)(
             query, key, value, key_mask=key_mask, deterministic=deterministic
         )
         tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
         tgt = nn.LayerNorm()(tgt)
 
-        ff = TorchDense(self.dim_feedforward)(tgt)
+        ff = TorchDense(self.dim_feedforward, dtype=self.dtype)(tgt)
         ff = nn.Dropout(self.dropout)(jax.nn.relu(ff), deterministic=deterministic)
-        tgt2 = TorchDense(self.q_dim)(ff)
+        tgt2 = TorchDense(self.q_dim)(ff.astype(jnp.float32))
         tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
         tgt = nn.LayerNorm()(tgt)
         return tgt
@@ -377,11 +422,12 @@ class SCALayer(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     attn_dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, tgt, memory, pos=None, query_pos=None, memory_mask=None, deterministic=True):
         q = add_pos(tgt, query_pos)
-        tgt2 = MultiHeadAttention(self.action_dim, self.nhead, self.attn_dropout, name="self_attn")(
+        tgt2 = MultiHeadAttention(self.action_dim, self.nhead, self.attn_dropout, dtype=self.dtype, name="self_attn")(
             q, q, tgt, deterministic=deterministic
         )
         tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
@@ -389,15 +435,15 @@ class SCALayer(nn.Module):
 
         query = add_pos(tgt, query_pos)
         key = add_pos(memory, pos)
-        tgt2 = MultiHeadAttention(self.action_dim, self.nhead, self.attn_dropout, name="cross_attn")(
+        tgt2 = MultiHeadAttention(self.action_dim, self.nhead, self.attn_dropout, dtype=self.dtype, name="cross_attn")(
             query, key, memory, key_mask=memory_mask, deterministic=deterministic
         )
         tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
         tgt = nn.LayerNorm()(tgt)
 
-        ff = TorchDense(self.dim_feedforward)(tgt)
+        ff = TorchDense(self.dim_feedforward, dtype=self.dtype)(tgt)
         ff = nn.Dropout(self.dropout)(jax.nn.relu(ff), deterministic=deterministic)
-        tgt2 = TorchDense(self.action_dim)(ff)
+        tgt2 = TorchDense(self.action_dim)(ff.astype(jnp.float32))
         tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
         tgt = nn.LayerNorm()(tgt)
         return tgt
@@ -413,6 +459,7 @@ class SADecoder(nn.Module):
     nhead: int
     ffdim: int
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, tgt, pos=None, deterministic=True):
@@ -420,7 +467,8 @@ class SADecoder(nn.Module):
         out = tgt
         for i in range(self.num_layers):
             out = SALayer(
-                self.hid_dim, self.nhead, self.ffdim, self.dropout, self.dropout, name=f"layer{i}"
+                self.hid_dim, self.nhead, self.ffdim, self.dropout, self.dropout,
+                dtype=self.dtype, name=f"layer{i}"
             )(out, out, out, query_pos=pos, key_pos=pos, deterministic=deterministic)
         return TorchDense(self.out_dim)(out)
 
@@ -436,6 +484,7 @@ class SCADecoder(nn.Module):
     nhead: int
     ffdim: int
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, tgt, memory, pos=None, query_pos=None, memory_mask=None, deterministic=True):
@@ -444,7 +493,7 @@ class SCADecoder(nn.Module):
         for i in range(self.num_layers):
             out = SCALayer(
                 self.hid_dim, self.frame_dim, self.nhead, self.ffdim, self.dropout, self.dropout,
-                name=f"layer{i}",
+                dtype=self.dtype, name=f"layer{i}",
             )(out, memory, pos=pos, query_pos=query_pos, memory_mask=memory_mask, deterministic=deterministic)
         out = nn.LayerNorm()(out)
         return TorchDense(self.out_dim)(out)

@@ -11,7 +11,10 @@ One deliberate deviation: the reference multiplies the per-segment weight
 vector (transcript order) onto loss columns ordered by the *matching* result,
 which silently permutes weights when the Hungarian column order is not
 sorted (loss.py:218-219).  We apply the weight of the segment the column
-actually represents.  With the default bgw=1.0 configs the two are identical.
+actually represents.  With the default bgw=1.0 configs the two are identical;
+for non-uniform segment weights (egoprocel ships bgw=0.5),
+``cfg.Loss.ref_weight_order: true`` reproduces the reference's permuted
+order exactly (see ``ref_order_sweight``).
 """
 
 from __future__ import annotations
@@ -182,7 +185,22 @@ def smooth_loss(logits, pair_mask, col_mask=None, is_logit=True):
 # per-block compositions (blocks.py:313-320, 369-382, 487-497)
 
 
-def block_loss(saves: dict, batch: dict, seg2tok, cweight_arr, sw: float, token_mask=None):
+def ref_order_sweight(sweight, seg2tok, seg_mask):
+    """Permute segment weights into the reference's matching order.
+
+    The reference (loss.py:218-219) weights cross-attention loss column j —
+    which represents segment sind[j], pairs sorted by matched *token* index —
+    by sweight[j].  Equivalently, segment s receives the weight of the
+    segment whose rank equals s's rank under seg2tok ordering.
+    """
+    big = jnp.asarray(1 << 30, seg2tok.dtype)
+    order = jnp.argsort(jnp.where(seg_mask, seg2tok, big), axis=1)  # rank -> segment
+    rank = jnp.argsort(order, axis=1)  # segment -> rank
+    return jnp.take_along_axis(sweight, rank, axis=1)
+
+
+def block_loss(saves: dict, batch: dict, seg2tok, cweight_arr, sw: float, token_mask=None,
+               ref_weight_order: bool = False):
     """Per-video loss (B,) of one block, matching Block.compute_loss."""
     labels = batch["labels"]
     frame_mask = batch["mask"]
@@ -191,6 +209,8 @@ def block_loss(saves: dict, batch: dict, seg2tok, cweight_arr, sw: float, token_
     seg_mask = batch["seg_mask"]
 
     sweight = jnp.where(seg_mask, cweight_arr[transcript], 0.0)
+    if ref_weight_order:
+        sweight = ref_order_sweight(sweight, seg2tok, seg_mask)
     pair_mask = frame_mask[:, 1:] & frame_mask[:, :-1]
 
     fl = frame_loss(saves["frame_clogit"], labels, frame_mask, cweight_arr)
@@ -230,11 +250,14 @@ def block_loss(saves: dict, batch: dict, seg2tok, cweight_arr, sw: float, token_
     raise ValueError(kind)
 
 
-def fact_loss(saves_list, batch, seg2tok, cweight_arr, sw: float, token_mask=None):
+def fact_loss(saves_list, batch, seg2tok, cweight_arr, sw: float, token_mask=None,
+              ref_weight_order: bool = False):
     """Mean over blocks of per-video block losses -> (B,) per-video loss
     (blocks.py:90-106)."""
     per_block = [
-        block_loss(s, batch, seg2tok, cweight_arr, sw, token_mask=token_mask) for s in saves_list
+        block_loss(s, batch, seg2tok, cweight_arr, sw, token_mask=token_mask,
+                   ref_weight_order=ref_weight_order)
+        for s in saves_list
     ]
     return sum(per_block) / len(per_block)
 

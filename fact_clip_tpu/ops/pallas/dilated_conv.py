@@ -2,11 +2,18 @@
 
 One DilatedResidualLayer (models/layers.py, mirroring the reference's
 basic.py:131-171) is five HBM round trips under naive lowering:
-dilated conv3 -> ReLU -> 1x1 conv -> residual add -> LayerNorm.  This kernel
-keeps a time tile plus its dilation halo in VMEM and does all five stages in
-one pass: the k=3 dilated conv is three shifted (TT, C) @ (C, C) MXU matmuls,
-the 1x1 conv a fourth, with the VPU handling ReLU/residual/LayerNorm —
-~2 HBM touches per element instead of ~10.
+dilated conv3 -> ReLU -> 1x1 conv -> dropout -> residual add -> LayerNorm.
+This kernel keeps a time tile plus its dilation halo in VMEM and does all
+stages in one pass: the k=3 dilated conv is three shifted (TT, C) @ (C, C)
+MXU matmuls, the 1x1 conv a fourth, with the VPU handling
+ReLU/dropout/residual/LayerNorm — ~2 HBM touches per element instead of ~10.
+
+Dropout runs *inside* the kernel from the on-core PRNG
+(``pltpu.prng_seed`` / ``pltpu.prng_random_bits``), so training recipes with
+dropout > 0 stay on the fused path with zero extra HBM traffic for the mask.
+The backward pass regenerates the identical mask with a tiny mask-only
+kernel seeded the same per-(batch, tile) way (``dropout_mask``) — the bits
+are a pure function of (seed, grid cell, shape), never stored.
 
 Overlapping halo windows use ``pl.Element`` block dims (elementwise start
 indices); x is pre-padded by ``dilation`` zeros on both time ends with one
@@ -20,11 +27,33 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, wd_ref, bd_ref, w1_ref, b1_ref, g_ref, beta_ref, o_ref, *,
-            dilation: int, halo: int, tile: int, use_ln: bool, eps: float):
+def _keep_mask(rate: float, shape):
+    """Scaled keep mask from the (already seeded) on-core PRNG.
+
+    keep probability = 1-rate; kept elements scaled by 1/(1-rate), exactly
+    torch/flax inverted-dropout semantics.
+    """
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = np.uint32(min(int((1.0 - rate) * 2.0**32), 2**32 - 1))
+    keep = bits < threshold
+    return jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
+
+
+def _seed_cell(seed_ref, n_tiles: int):
+    """Seed the PRNG uniquely per (batch, tile) grid cell."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + b * n_tiles + t)
+
+
+def _kernel(seed_ref, x_ref, wd_ref, bd_ref, w1_ref, b1_ref, g_ref, beta_ref, o_ref, *,
+            dilation: int, halo: int, tile: int, use_ln: bool, eps: float,
+            rate: float, n_tiles: int):
     d, hp = dilation, halo
     # x_ref window: (1, tile + 2*halo, C); halo >= d keeps the window 8-aligned
     left = x_ref[0, hp - d : hp - d + tile, :]
@@ -37,7 +66,11 @@ def _kernel(x_ref, wd_ref, bd_ref, w1_ref, b1_ref, g_ref, beta_ref, o_ref, *,
     acc = jax.nn.relu(acc + bd_ref[:].astype(jnp.float32))
 
     out = jnp.dot(acc.astype(mid.dtype), w1_ref[:], preferred_element_type=jnp.float32)
-    out = out + b1_ref[:].astype(jnp.float32) + mid.astype(jnp.float32)
+    out = out + b1_ref[:].astype(jnp.float32)
+    if rate > 0.0:
+        _seed_cell(seed_ref, n_tiles)
+        out = out * _keep_mask(rate, out.shape)
+    out = out + mid.astype(jnp.float32)
 
     if use_ln:
         mean = out.mean(axis=-1, keepdims=True)
@@ -48,20 +81,62 @@ def _kernel(x_ref, wd_ref, bd_ref, w1_ref, b1_ref, g_ref, beta_ref, o_ref, *,
     o_ref[0, :, :] = out.astype(o_ref.dtype)
 
 
+def _mask_kernel(seed_ref, o_ref, *, rate: float, n_tiles: int):
+    _seed_cell(seed_ref, n_tiles)
+    o_ref[0, :, :] = _keep_mask(rate, o_ref.shape[1:])
+
+
+def _tiling(T: int, tile: int, dilation: int):
+    halo = -(-dilation // 8) * 8  # 8-aligned halo so the VMEM window tiles cleanly
+    tile = min(tile, max(-(-T // 8) * 8, 8))
+    n_tiles = pl.cdiv(T, tile)
+    return halo, tile, n_tiles
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "rate", "tile", "interpret"))
+def dropout_mask(seed, shape, rate: float, tile: int = 512, interpret: bool = False):
+    """Regenerate the exact scaled dropout mask the fused forward used.
+
+    ``shape`` is the (B, T, C) of the layer input; seeding and the per-cell
+    ``prng_random_bits`` call mirror ``_kernel`` bit-for-bit, so this is the
+    same mask — recomputed, never materialized by the forward.
+    """
+    B, T, C = shape
+    _, tile, n_tiles = _tiling(T, tile, 1)
+    T_pad = n_tiles * tile
+    kernel = functools.partial(_mask_kernel, rate=rate, n_tiles=n_tiles)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, tile, C), lambda b, t: (b, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T_pad, C), jnp.float32),
+        interpret=interpret,
+    )(seed)
+    return out[:, :T]
+
+
 def dilated_residual_layer(x, wd, bd, w1, b1, gamma, beta, *, dilation: int,
                            use_ln: bool = True, eps: float = 1e-5,
+                           rate: float = 0.0, seed=None,
                            tile: int = 512, interpret: bool = False):
     """Differentiable fused layer: Pallas forward, recompute-in-backward VJP
     (the backward recomputes the cheap intermediates from x instead of saving
     them — rematerialization trades a little compute for activation memory).
+
+    rate/seed: in-kernel dropout on the 1x1-conv output (rate=0 disables;
+    seed is a (1,) int32 array, required when rate > 0).
     """
-    return _dr_vjp(x, wd, bd, w1, b1, gamma, beta, dilation, use_ln, eps, tile, interpret)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    return _dr_vjp(x, wd, bd, w1, b1, gamma, beta, seed,
+                   dilation, use_ln, eps, float(rate), tile, interpret)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
-def _dr_vjp(x, wd, bd, w1, b1, gamma, beta, dilation, use_ln, eps, tile, interpret):
-    return _forward(x, wd, bd, w1, b1, gamma, beta, dilation=dilation,
-                    use_ln=use_ln, eps=eps, tile=tile, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def _dr_vjp(x, wd, bd, w1, b1, gamma, beta, seed, dilation, use_ln, eps, rate, tile, interpret):
+    return _forward(x, wd, bd, w1, b1, gamma, beta, seed, dilation=dilation,
+                    use_ln=use_ln, eps=eps, rate=rate, tile=tile, interpret=interpret)
 
 
 def _reference_forward_pieces(x, wd, bd, w1, b1, dilation):
@@ -73,21 +148,27 @@ def _reference_forward_pieces(x, wd, bd, w1, b1, dilation):
         rhs_dilation=(dilation,), dimension_numbers=("NWC", "WIO", "NWC"),
     ) + bd
     a = jax.nn.relu(conv)
-    z = a @ w1 + b1 + x
-    return a, z
+    z_pre = a @ w1 + b1  # pre-dropout, pre-residual
+    return a, z_pre
 
 
-def _fwd(x, wd, bd, w1, b1, gamma, beta, dilation, use_ln, eps, tile, interpret):
-    y = _forward(x, wd, bd, w1, b1, gamma, beta, dilation=dilation,
-                 use_ln=use_ln, eps=eps, tile=tile, interpret=interpret)
-    return y, (x, wd, bd, w1, b1, gamma)
+def _fwd(x, wd, bd, w1, b1, gamma, beta, seed, dilation, use_ln, eps, rate, tile, interpret):
+    y = _forward(x, wd, bd, w1, b1, gamma, beta, seed, dilation=dilation,
+                 use_ln=use_ln, eps=eps, rate=rate, tile=tile, interpret=interpret)
+    return y, (x, wd, bd, w1, b1, gamma, seed)
 
 
-def _bwd(dilation, use_ln, eps, tile, interpret, res, g):
+def _bwd(dilation, use_ln, eps, rate, tile, interpret, res, g):
     import jax.lax as lax
 
-    x, wd, bd, w1, b1, gamma = res
-    a, z = _reference_forward_pieces(x, wd, bd, w1, b1, dilation)
+    x, wd, bd, w1, b1, gamma, seed = res
+    a, z_pre = _reference_forward_pieces(x, wd, bd, w1, b1, dilation)
+    if rate > 0.0:
+        m = dropout_mask(seed, shape=x.shape, rate=rate, tile=tile, interpret=interpret)
+        z = z_pre * m + x
+    else:
+        m = None
+        z = z_pre + x
 
     if use_ln:
         mean = z.mean(axis=-1, keepdims=True)
@@ -104,10 +185,11 @@ def _bwd(dilation, use_ln, eps, tile, interpret, res, g):
         dbeta = jnp.zeros_like(gamma)
         dz = g
 
-    # z = a @ w1 + b1 + x
-    da = dz @ w1.T
-    dw1 = jnp.einsum("btc,btd->cd", a, dz)
-    db1 = dz.sum(axis=(0, 1))
+    # z = dropout(a @ w1 + b1) + x
+    dz_pre = dz * m if m is not None else dz
+    da = dz_pre @ w1.T
+    dw1 = jnp.einsum("btc,btd->cd", a, dz_pre)
+    db1 = dz_pre.sum(axis=(0, 1))
 
     dc = da * (a > 0)
     dbd = dc.sum(axis=(0, 1))
@@ -126,42 +208,45 @@ def _bwd(dilation, use_ln, eps, tile, interpret, res, g):
     )
 
     dx = dx_conv + dz  # residual path
-    return dx, dwd, dbd, dw1, db1, dgamma, dbeta
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    return dx, dwd, dbd, dw1, db1, dgamma, dbeta, dseed
 
 
 _dr_vjp.defvjp(_fwd, _bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dilation", "use_ln", "eps", "tile", "interpret")
+    jax.jit, static_argnames=("dilation", "use_ln", "eps", "rate", "tile", "interpret")
 )
-def _forward(x, wd, bd, w1, b1, gamma, beta, *, dilation: int,
-             use_ln: bool = True, eps: float = 1e-5,
+def _forward(x, wd, bd, w1, b1, gamma, beta, seed, *, dilation: int,
+             use_ln: bool = True, eps: float = 1e-5, rate: float = 0.0,
              tile: int = 512, interpret: bool = False):
     """Apply one fused dilated residual layer.
 
     x: (B, T, C) with padded frames already zeroed;
-    wd: (3, C, C) dilated conv taps; w1: (C, C) pointwise; gamma/beta: (C,).
-    Returns (B, T, C) = LN(x + W1 relu(dilated_conv3(x))) on valid frames.
+    wd: (3, C, C) dilated conv taps; w1: (C, C) pointwise; gamma/beta: (C,);
+    seed: (1,) int32 for in-kernel dropout (ignored when rate == 0).
+    Returns (B, T, C) = LN(x + dropout(W1 relu(dilated_conv3(x)))) on valid
+    frames.
     """
     B, T, C = x.shape
     d = dilation
-    halo = -(-d // 8) * 8  # 8-aligned halo so the VMEM window tiles cleanly
-    tile = min(tile, max(-(-T // 8) * 8, 8))
-    n_tiles = pl.cdiv(T, tile)
+    halo, tile, n_tiles = _tiling(T, tile, d)
     T_pad = n_tiles * tile
 
     # halo + round-up padding in one XLA pad
     x_p = jnp.pad(x, ((0, 0), (halo, halo + (T_pad - T)), (0, 0)))
 
     kernel = functools.partial(
-        _kernel, dilation=d, halo=halo, tile=tile, use_ln=use_ln, eps=eps
+        _kernel, dilation=d, halo=halo, tile=tile, use_ln=use_ln, eps=eps,
+        rate=rate, n_tiles=n_tiles,
     )
 
     out = pl.pallas_call(
         kernel,
         grid=(B, n_tiles),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             # overlapping windows: element starts into the padded time axis
             # (Mosaic requires every dim to be Element when any is)
             pl.BlockSpec(
@@ -178,5 +263,5 @@ def _forward(x, wd, bd, w1, b1, gamma, beta, *, dilation: int,
         out_specs=pl.BlockSpec((1, tile, C), lambda b, t: (b, t, 0)),
         out_shape=jax.ShapeDtypeStruct((B, T_pad, C), x.dtype),
         interpret=interpret,
-    )(x_p, wd, bd, w1, b1, gamma, beta)
+    )(seed, x_p, wd, bd, w1, b1, gamma, beta)
     return out[:, :T]
