@@ -180,6 +180,10 @@ TPU.profile_dir = ""  # non-empty -> capture a jax.profiler trace there
 TPU.profile_start = 10  # global step to start the trace
 TPU.profile_stop = 15  # global step to stop the trace
 TPU.checkpoint_backend = "msgpack"  # "msgpack" (single file) | "orbax" (directory)
+# also checkpoint the full TrainState (optimizer moments + step) in a sidecar
+# state.iter-<N>.state file so resume is bit-continuous; the reference-format
+# weights-only network.iter-<N>.net is always written regardless
+TPU.save_opt_state = True
 # "" -> JAX default (TPU matmuls take bf16 inputs with f32 accumulation);
 # "highest" forces full-f32 matmuls for strict-parity runs at ~3x matmul cost
 TPU.matmul_precision = ""

@@ -57,6 +57,46 @@ def save_model(params, ckptdir: str, iteration: int, backend: str = "msgpack") -
     return fname
 
 
+# --------------------------------------------------------------------------
+# full TrainState (params + optimizer moments + step) — beyond the
+# reference's weights-only contract (train_tools.py:15-52), so long DP runs
+# resume bit-continuously instead of restarting Adam/momentum from zero.
+
+
+def _state_path(ckpt_file: str) -> str:
+    """Sidecar TrainState file for a weights checkpoint path."""
+    stem = ckpt_file[: -len(".orbax")] if ckpt_file.endswith(".orbax") else ckpt_file.rsplit(".", 1)[0]
+    return stem.replace("network.iter-", "state.iter-") + ".state"
+
+
+def save_train_state(state, ckptdir: str, iteration: int, backend: str = "msgpack") -> str:
+    """Serialize the full TrainState next to the weights checkpoint.
+
+    The sidecar is msgpack either way (flax to_state_dict covers
+    step/params/opt_state; apply_fn/tx are static); ``backend`` only names
+    the weights file the sidecar corresponds to.
+    """
+    fname = _state_path(save_model_path(ckptdir, iteration, backend))
+    with open(fname, "wb") as f:
+        f.write(serialization.to_bytes(state))
+    return fname
+
+
+def save_model_path(ckptdir: str, iteration: int, backend: str = "msgpack") -> str:
+    ext = "orbax" if backend == "orbax" else "net"
+    return os.path.join(ckptdir, f"network.iter-{iteration}.{ext}")
+
+
+def load_train_state(template_state, ckpt_file: str):
+    """Restore a full TrainState from the sidecar of ``ckpt_file``; returns
+    None when no sidecar exists (fall back to weights-only resume)."""
+    fname = _state_path(ckpt_file)
+    if not os.path.exists(fname):
+        return None
+    with open(fname, "rb") as f:
+        return serialization.from_bytes(template_state, f.read())
+
+
 def load_model(template, path: str):
     """Load either checkpoint format by extension."""
     if path.endswith(".orbax"):

@@ -111,6 +111,11 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
         params = ckpt_io.load_model(params, ckpt_file)
 
     state = create_train_state(exp.model, params, cfg, steps_per_epoch)
+    if ckpt_file is not None and cfg.TPU.save_opt_state:
+        full = ckpt_io.load_train_state(state, ckpt_file)
+        if full is not None:
+            state = full
+            print("Restored full TrainState (optimizer moments + step)")
     train_step, eval_step = make_step_fns(
         exp.model, cfg, dataset.nclasses, exp.cweight, exp.clip_bundle, verbnoun=exp.verbnoun
     )
@@ -213,6 +218,9 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
                     best_metric = test_ckpt.metrics["F1@0.50"]
                 ckpt_io.save_model(state.params, ckptdir, global_step + 1,
                                    backend=cfg.TPU.checkpoint_backend)
+                if cfg.TPU.save_opt_state:
+                    ckpt_io.save_train_state(state, ckptdir, global_step + 1,
+                                             backend=cfg.TPU.checkpoint_backend)
 
             global_step += 1
         # LR decay lives in the optimizer schedule (state.py)

@@ -1,0 +1,106 @@
+"""Full-TrainState checkpointing: train 2N straight == train N + resume + N.
+
+The reference checkpoint contract is weights-only
+(/root/reference/fact_clip/utils/train_tools.py:15-52, train.py:209-214);
+this build additionally sidecars the optimizer moments + step
+(engine/checkpoint.py), so Adam/momentum resume bit-continuously.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fact_clip_tpu.engine import checkpoint as ckpt_io
+from fact_clip_tpu.engine.state import create_train_state
+from fact_clip_tpu.engine.steps import make_step_fns
+from fact_clip_tpu.models.blocks import build_fact
+
+from test_model import make_batch, small_cfg
+
+
+def _setup(optimizer="Adam"):
+    cfg = small_cfg("iu")
+    cfg.optimizer = optimizer
+    cfg.lr = 0.01
+    cfg.momentum = 0.9
+    cfg.Bi.dropout = 0.2  # dropout on: rng-per-step must also line up
+    batch = make_batch(np.random.default_rng(0))
+    C, D = 5, 12
+    model = build_fact(cfg, D, C, s_pred_cap=24)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1), "aug": jax.random.PRNGKey(2)},
+        batch["feats"], batch["mask"], batch["lengths"], train=False,
+    )["params"]
+    state = create_train_state(model, params, cfg, steps_per_epoch=10)
+    train_step, _ = make_step_fns(model, cfg, C, np.ones((C + 1,), np.float32))
+    return cfg, state, train_step, batch
+
+
+def _run(state, train_step, batch, steps, start=0):
+    # train_step donates its state argument; copy so callers can reuse theirs
+    state = jax.tree_util.tree_map(jnp.copy, state)
+    base = jax.random.PRNGKey(123)
+    losses = []
+    for i in range(start, start + steps):
+        state, out = train_step(state, batch, jax.random.fold_in(base, i))
+        losses.append(float(out["loss"]))
+    return state, losses
+
+
+def _trees_equal(a, b):
+    fa = jax.tree_util.tree_leaves(a)
+    fb = jax.tree_util.tree_leaves(b)
+    return all(np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(fa, fb))
+
+
+def test_resume_equivalence_adam(tmp_path):
+    cfg, state0, train_step, batch = _setup("Adam")
+
+    # straight 2N
+    state_straight, losses_straight = _run(state0, train_step, batch, 6)
+
+    # N + save + restore + N
+    state_half, losses_a = _run(state0, train_step, batch, 3)
+    ckptdir = str(tmp_path)
+    ckpt_io.save_model(state_half.params, ckptdir, 3)
+    ckpt_io.save_train_state(state_half, ckptdir, 3)
+
+    # restore into a fresh-structure template, as run_train does
+    restored = ckpt_io.load_train_state(state0, os.path.join(ckptdir, "network.iter-3.net"))
+    assert restored is not None
+    assert int(restored.step) == int(state_half.step)
+    assert _trees_equal(restored.params, state_half.params)
+    assert _trees_equal(restored.opt_state, state_half.opt_state)
+
+    state_resumed, losses_b = _run(restored, train_step, batch, 3, start=3)
+
+    np.testing.assert_allclose(losses_a + losses_b, losses_straight, rtol=1e-6)
+    assert _trees_equal(state_resumed.params, state_straight.params)
+
+
+def test_weights_only_resume_differs_for_adam(tmp_path):
+    """Sanity: restarting Adam moments (the reference contract) is NOT
+    equivalent — proving the sidecar carries real information."""
+    cfg, state0, train_step, batch = _setup("Adam")
+    state_straight, _ = _run(state0, train_step, batch, 6)
+
+    state_half, _ = _run(state0, train_step, batch, 3)
+    weights_only = state0.replace(params=state_half.params)  # moments reset
+    state_resumed, _ = _run(weights_only, train_step, batch, 3, start=3)
+    assert not _trees_equal(state_resumed.params, state_straight.params)
+
+
+def test_sidecar_absent_falls_back(tmp_path):
+    cfg, state0, train_step, batch = _setup("SGD")
+    ckptdir = str(tmp_path)
+    ckpt_io.save_model(state0.params, ckptdir, 5)
+    assert ckpt_io.load_train_state(state0, os.path.join(ckptdir, "network.iter-5.net")) is None
+
+
+def test_state_path_for_orbax_dir():
+    p = ckpt_io._state_path("/x/ckpts/network.iter-12.orbax")
+    assert p == "/x/ckpts/state.iter-12.state"
+    p = ckpt_io._state_path("/x/ckpts/network.iter-12.net")
+    assert p == "/x/ckpts/state.iter-12.state"
