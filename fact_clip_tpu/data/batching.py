@@ -76,11 +76,13 @@ class BatchAssembler:
         self.seg_cap = seg_cap
         self.buckets = buckets
 
-    def assemble(self, vnames: list) -> Batch:
+    def assemble(self, vnames: list, min_len: int = 0) -> Batch:
+        """``min_len`` pins the bucket at least that long — multi-process
+        loaders use it so every process pads its local slice identically."""
         items = [self.dataset[v] for v in vnames]
         B = len(items)
         D = self.dataset.input_dimension
-        L = bucket_for(max(len(it.train_label) for it in items), self.buckets)
+        L = bucket_for(max(max(len(it.train_label) for it in items), min_len), self.buckets)
         S = self.seg_cap
 
         feats = np.zeros((B, L, D), dtype=np.float32)
@@ -153,9 +155,21 @@ class BatchAssembler:
 
 
 class TrainLoader:
-    """Shuffled, bucket-sorted epoch iterator with wrap-around tail batch."""
+    """Shuffled, bucket-sorted epoch iterator with wrap-around tail batch.
 
-    def __init__(self, dataset: Dataset, batch_size: int, assembler: BatchAssembler, seed: int = 0, shuffle: bool = True):
+    Multi-host data parallelism: pass ``process_id``/``process_count`` and
+    every process derives the *same* global batch composition (the shuffle is
+    seeded identically), then assembles only its contiguous slice of each
+    batch — rows [pid * B/n, (pid+1) * B/n).  ``parallel/distributed.py``
+    turns the local slices back into global batch-sharded arrays.
+    """
+
+    def __init__(self, dataset: Dataset, batch_size: int, assembler: BatchAssembler,
+                 seed: int = 0, shuffle: bool = True,
+                 process_id: int = 0, process_count: int = 1):
+        assert batch_size % process_count == 0, (
+            f"batch_size {batch_size} not divisible by process_count {process_count}"
+        )
         self.dataset = dataset
         self.batch_size = batch_size
         self.assembler = assembler
@@ -163,6 +177,8 @@ class TrainLoader:
         self._rng = np.random.default_rng(seed)
         self.videos = list(dataset.get_vnames())
         self.num_batch = int(np.ceil(len(self.videos) / batch_size))
+        self.process_id = process_id
+        self.process_count = process_count
 
     def __len__(self):
         return self.num_batch
@@ -191,8 +207,19 @@ class TrainLoader:
         if self.shuffle:
             self._rng.shuffle(batches)
 
+        per = self.batch_size // self.process_count
+        lo, hi = self.process_id * per, (self.process_id + 1) * per
         for idx in batches:
-            yield self.assembler.assemble([self.videos[i] for i in idx])
+            local = idx[lo:hi]
+            if self.process_count > 1:
+                # all processes must pad to the same bucket: pin the batch's
+                # global bucket from the full composition
+                gmax = max(len(self.dataset[self.videos[i]].train_label) for i in idx)
+                yield self.assembler.assemble(
+                    [self.videos[i] for i in local], min_len=gmax
+                )
+            else:
+                yield self.assembler.assemble([self.videos[i] for i in local])
 
 
 class EvalLoader:

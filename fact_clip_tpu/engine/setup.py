@@ -36,8 +36,9 @@ class Experiment:
     test_assembler: BatchAssembler
     verbnoun: bool = False
 
-    def train_loader(self, seed=0):
-        return TrainLoader(self.dataset, self.cfg.batch_size, self.assembler, seed=seed)
+    def train_loader(self, seed=0, process_id=0, process_count=1):
+        return TrainLoader(self.dataset, self.cfg.batch_size, self.assembler, seed=seed,
+                           process_id=process_id, process_count=process_count)
 
     def test_loader(self):
         return EvalLoader(self.test_dataset, self.cfg.batch_size, self.test_assembler)

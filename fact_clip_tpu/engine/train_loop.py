@@ -44,7 +44,8 @@ def _collect_video_saves(batch, pred_dev, per_video_loss=None, extra_losses=None
     return saves
 
 
-def evaluate(global_step, exp: Experiment, eval_step, params, logger, savedir, place=lambda a: a):
+def evaluate(global_step, exp: Experiment, eval_step, params, logger, savedir,
+             place=lambda a: a, fetch=np.asarray):
     """Test pass -> metrics -> results checkpoint (train.py:18-86)."""
     cfg = exp.cfg
     test_ds = exp.test_dataset
@@ -56,7 +57,7 @@ def evaluate(global_step, exp: Experiment, eval_step, params, logger, savedir, p
         seen_classes=test_ds.seen_classes,
     )
     for batch in prefetch(exp.test_loader(), cfg.TPU.prefetch):
-        pred = eval_step(params, place(batch.device_arrays))
+        pred = fetch(eval_step(params, place(batch.device_arrays)))
         video_saves = _collect_video_saves(batch, pred)
         save_results(ckpt, batch.vnames, batch.eval_labels, video_saves)
 
@@ -103,7 +104,9 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
     print(f"Buckets {exp.buckets}, seg_cap {exp.seg_cap}, pred_seg_cap {exp.s_pred_cap}")
     print(f"Model parameters: {param_count(exp.params):,}")
 
-    trainloader = exp.train_loader(seed=cfg.aux.seed)
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    trainloader = exp.train_loader(seed=cfg.aux.seed, process_id=pid, process_count=n_proc)
     steps_per_epoch = len(trainloader)
 
     params = exp.params
@@ -120,11 +123,12 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
         exp.model, cfg, dataset.nclasses, exp.cweight, exp.clip_bundle, verbnoun=exp.verbnoun
     )
 
-    # multi-device: shard batches over a data x seq mesh and replicate state;
-    # GSPMD handles every collective (tests/test_parallel.py)
+    # multi-device / multi-host: shard batches over a *global* data x seq
+    # mesh and replicate state; GSPMD handles every collective — ICI within a
+    # slice, DCN across slices (tests/test_parallel.py, tests/test_multihost.py)
     mesh = None
-    n_dev = jax.local_device_count()
-    if n_dev > 1 and cfg.TPU.num_data_shards != 1:
+    n_dev = jax.device_count()  # global across processes
+    if (n_dev > 1 or n_proc > 1) and cfg.TPU.num_data_shards != 1:
         from ..parallel import mesh as mesh_lib
 
         n_seq = max(1, cfg.TPU.num_seq_shards)
@@ -141,16 +145,61 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
                     n_data = cand
                     break
         if n_data * n_seq > 1:
+            assert n_data % n_proc == 0 or n_proc == 1, (
+                f"data shards {n_data} must be a multiple of process count {n_proc}"
+            )
             mesh = mesh_lib.make_mesh(n_data=n_data, n_seq=n_seq)
-            state = mesh_lib.replicate_tree(mesh, state)
-            print(f"Mesh: data={n_data} x seq={n_seq} over {n_dev} devices")
+            if n_proc > 1:
+                from ..parallel import distributed as dist_lib
+
+                state = dist_lib.replicate_global(mesh, state)
+            else:
+                state = mesh_lib.replicate_tree(mesh, state)
+            print(f"Mesh: data={n_data} x seq={n_seq} over {n_dev} devices"
+                  + (f" across {n_proc} processes" if n_proc > 1 else ""))
+    assert not (n_proc > 1 and mesh is None), (
+        "multi-process execution requires a data mesh (cfg.TPU.num_data_shards != 1)"
+    )
 
     def place(arrays: dict) -> dict:
         if mesh is None:
             return arrays
         from ..parallel import mesh as mesh_lib
 
+        if n_proc > 1:
+            from ..parallel import distributed as dist_lib
+
+            return dist_lib.form_global_batch(mesh, arrays, mesh_lib.batch_specs_2d())
         return mesh_lib.shard_batch_2d(mesh, arrays)
+
+    def fetch_local(arr):
+        """Per-video outputs of a sharded step: this process's rows."""
+        if n_proc > 1:
+            from ..parallel import distributed as dist_lib
+
+            return dist_lib.local_values(arr)
+        return np.asarray(arr)
+
+    def place_eval(arrays: dict) -> dict:
+        """Eval under multi-process runs replicated (every process feeds the
+        identical full batch and computes full metrics) — eval is rare and
+        redundant compute beats a cross-process metric reduction."""
+        if mesh is None:
+            return arrays
+        from ..parallel import mesh as mesh_lib
+
+        if n_proc > 1:
+            from ..parallel import distributed as dist_lib
+
+            return dist_lib.form_global_batch(mesh, arrays, {})  # all P() = replicated
+        return mesh_lib.shard_batch_2d(mesh, arrays)
+
+    def fetch_eval(arr):
+        if n_proc > 1:
+            from ..parallel import distributed as dist_lib
+
+            return dist_lib.local_values(arr)
+        return np.asarray(arr)
 
     logger = Logger(cfg, cfg2flatdict(cfg))
 
@@ -183,11 +232,11 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
             state, out = train_step(state, place(batch.device_arrays), rng)
 
             if "contrastive_loss" in out:  # CLIP runs log the loss split
-                extra = {k: out[k] for k in ("fact_loss", "contrastive_loss")}
+                extra = {k: fetch_local(out[k]) for k in ("fact_loss", "contrastive_loss")}
             else:
                 extra = {}
             video_saves = _collect_video_saves(
-                batch, out["pred"], np.asarray(out["per_video_loss"]), extra
+                batch, fetch_local(out["pred"]), fetch_local(out["per_video_loss"]), extra
             )
             save_results(train_ckpt, batch.vnames, batch.eval_labels, video_saves)
 
@@ -212,7 +261,8 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
                 train_ckpt = fresh_train_ckpt()
 
             if global_step != 0 and (global_step + 1) % cfg.aux.eval_every == 0:
-                test_ckpt = evaluate(global_step, exp, eval_step, state.params, logger, savedir, place)
+                test_ckpt = evaluate(global_step, exp, eval_step, state.params, logger,
+                                     savedir, place_eval, fetch_eval)
                 if test_ckpt.metrics["F1@0.50"] >= best_metric:
                     best_ckpt = test_ckpt
                     best_metric = test_ckpt.metrics["F1@0.50"]

@@ -113,6 +113,10 @@ def resolve_matcher(matcher: str = "auto") -> str:
     PJRT rejects host callbacks inside compiled programs)."""
     if matcher != "auto":
         return matcher
+    if jax.process_count() > 1:
+        # host callbacks under multi-process GSPMD would gather sharded
+        # operands per process; keep matching on device
+        return "auction"
     return "host" if jax.default_backend() == "cpu" else "auction"
 
 

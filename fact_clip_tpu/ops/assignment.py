@@ -65,29 +65,35 @@ def _auction_phase(value, col_valid, price, eps, max_iters):
 
     seg_tok0 = jnp.full((S,), -1, jnp.int32)
     tok_seg0 = jnp.full((M,), -1, jnp.int32)
-    seg_tok, _, price, _ = jax.lax.while_loop(
+    seg_tok, _, price, iters = jax.lax.while_loop(
         cond, body, (seg_tok0, tok_seg0, price, jnp.int32(0))
     )
-    return seg_tok, price
+    return seg_tok, price, iters
 
 
-def auction_assign(cost, col_valid, eps_rel: float = 1e-3, max_iters: int = 50000):
+def auction_assign(cost, col_valid, eps_rel: float = 1e-3, max_iters: int = 50000,
+                   with_stats: bool = False):
     """Minimize assignment cost. cost: (M, S); col_valid: (S,) bool.
 
     Returns seg_tok (S,) int32 — a distinct token per valid segment
     (0 for invalid segments).  Requires M >= number of valid segments.
+    ``with_stats=True`` additionally returns a dict of convergence telemetry
+    (auction iterations, segments left to the sequential safety net, the
+    eps-suboptimality bound).
 
     A single phase with small epsilon from zero prices: suboptimality is
     bounded by S * eps = S * eps_rel * spread; matching costs here live in
     [-(pc + a2fc), 0], so this is far below the scale that changes training
-    targets, and empirically the assignment equals scipy's exactly.
+    targets, and empirically the assignment equals scipy's exactly
+    (tests/test_matching.py incl. trained-model and near-tie stress).
     """
     M, S = cost.shape
     value = -cost
     spread = jnp.maximum(value.max() - value.min(), 1e-3)
     price = jnp.zeros((M,), value.dtype)
     eps = spread * eps_rel
-    seg_tok, price = _auction_phase(value, col_valid, price, eps, max_iters)
+    seg_tok, price, iters = _auction_phase(value, col_valid, price, eps, max_iters)
+    fallback_segs = ((seg_tok < 0) & col_valid).sum()
 
     # safety net: sequentially place any still-unassigned segments on their
     # best unassigned token (max_iters exhaustion is pathological)
@@ -104,7 +110,15 @@ def auction_assign(cost, col_valid, eps_rel: float = 1e-3, max_iters: int = 5000
         return seg_tok, taken
 
     seg_tok, _ = jax.lax.fori_loop(0, S, place, (seg_tok, taken))
-    return jnp.maximum(seg_tok, 0)
+    seg_tok = jnp.maximum(seg_tok, 0)
+    if with_stats:
+        stats = {
+            "iterations": iters,
+            "fallback_segments": fallback_segs,
+            "eps_bound": eps * col_valid.sum(),
+        }
+        return seg_tok, stats
+    return seg_tok
 
 
 def o2m_assign(cost, transcript, col_valid, nclasses: int):

