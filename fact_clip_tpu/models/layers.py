@@ -38,6 +38,18 @@ from flax import linen as nn
 def _cast(x, dtype):
     return x if dtype is None else x.astype(dtype)
 
+
+def _poslike(pos, x):
+    """Positional table shaped for the fused X2Y kernel: channel-zero-extend
+    to x's width (add_pos adds to the *leading* channels only) and give it a
+    leading batch dim (kept at 1 when unbatched — the kernel broadcasts)."""
+    if pos.ndim == 2:
+        pos = pos[None]
+    P, C = pos.shape[-1], x.shape[-1]
+    if P < C:
+        pos = jnp.pad(pos, ((0, 0), (0, 0), (0, C - P)))
+    return pos.astype(x.dtype)
+
 # --------------------------------------------------------------------------
 # torch-style initializers
 
@@ -164,16 +176,31 @@ class DilatedResidualLayer(nn.Module):
     use_pallas: bool = False
     dtype: Any = None
 
-    @nn.compact
+    def setup(self):
+        C, g = self.nchannels, self.ngroup
+        self.k_dil = self.param("conv_dilated_kernel", torch_conv_init, (3, C // g, C))
+        self.b_dil = self.param("conv_dilated_bias", uniform_init(1.0 / math.sqrt(3 * C // g)), (C,))
+        self.k_1x1 = self.param("conv_1x1_kernel", torch_linear_kernel_init, (C, C))
+        self.b_1x1 = self.param("conv_1x1_bias", torch_linear_bias_init(C), (C,))
+        if self.layernorm:
+            self.ln_g = self.param("ln_scale", nn.initializers.ones, (C,))
+            self.ln_b = self.param("ln_bias", nn.initializers.zeros, (C,))
+
+    def param_tuple(self):
+        """(wd, bd, w1, b1, gamma, beta) for the fused-stack API, compute
+        dtype applied to the matmul weights."""
+        C = self.nchannels
+        gamma = self.ln_g if self.layernorm else jnp.ones((C,), jnp.float32)
+        beta = self.ln_b if self.layernorm else jnp.zeros((C,), jnp.float32)
+        return (_cast(self.k_dil, self.dtype), self.b_dil,
+                _cast(self.k_1x1, self.dtype), self.b_1x1, gamma, beta)
+
     def __call__(self, x, mask, deterministic: bool):
         C, g = self.nchannels, self.ngroup
-        kernel = self.param("conv_dilated_kernel", torch_conv_init, (3, C // g, C))
-        kbias = self.param("conv_dilated_bias", uniform_init(1.0 / math.sqrt(3 * C // g)), (C,))
-        w1 = self.param("conv_1x1_kernel", torch_linear_kernel_init, (C, C))
-        b1 = self.param("conv_1x1_bias", torch_linear_bias_init(C), (C,))
+        kernel, kbias = self.k_dil, self.b_dil
+        w1, b1 = self.k_1x1, self.b_1x1
         if self.layernorm:
-            gamma = self.param("ln_scale", nn.initializers.ones, (C,))
-            beta = self.param("ln_bias", nn.initializers.zeros, (C,))
+            gamma, beta = self.ln_g, self.ln_b
 
         xm = _cast(x, self.dtype) * mask[:, :, None].astype(self.dtype or x.dtype)
 
@@ -200,7 +227,11 @@ class DilatedResidualLayer(nn.Module):
 
         out = jax.nn.relu(_dilated_conv(xm, _cast(kernel, self.dtype), kbias, self.dilation, g))
         out = _cast(out, self.dtype) @ _cast(w1, self.dtype) + b1  # the 1x1 conv is pointwise
-        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        # inline dropout (same math as nn.Dropout; this is a setup-style
+        # module, so no submodules may be created here)
+        if not deterministic and self.dropout > 0.0:
+            keep = jax.random.bernoulli(self.make_rng("dropout"), 1.0 - self.dropout, out.shape)
+            out = jnp.where(keep, out / (1.0 - self.dropout), jnp.zeros_like(out))
         x = (xm + out).astype(jnp.float32)  # LayerNorm statistics in f32
         if self.layernorm:
             mean = x.mean(axis=-1, keepdims=True)
@@ -230,8 +261,8 @@ class MSTCN(nn.Module):
             x = TorchDense(self.hid_dim, dtype=self.dtype)(x)
         else:
             assert self.in_dim == self.hid_dim
-        for i in range(self.num_layers):
-            x = DilatedResidualLayer(
+        layers = [
+            DilatedResidualLayer(
                 dilation=self.dilation_factor**i,
                 nchannels=self.hid_dim,
                 dropout=self.dropout,
@@ -239,7 +270,32 @@ class MSTCN(nn.Module):
                 ngroup=self.ngroup,
                 use_pallas=self.use_pallas,
                 dtype=self.dtype,
-            )(x, mask, deterministic)
+            )
+            for i in range(self.num_layers)
+        ]
+        if self.use_pallas and self.ngroup == 1:
+            # fused tower: one halo pad + N kernels + one slice instead of a
+            # pad/slice round trip per layer (ops/pallas/dilated_conv.py)
+            from ..ops.pallas.dilated_conv import dilated_residual_stack
+
+            rate = 0.0 if deterministic else float(self.dropout)
+            L = self.num_layers
+            if rate > 0.0:
+                bits = jax.random.randint(
+                    self.make_rng("dropout"), (L, 1), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+                )
+                seeds = tuple(bits[i] for i in range(L))
+            else:
+                seeds = None
+            x = dilated_residual_stack(
+                _cast(x, self.dtype), mask,
+                [l.param_tuple() for l in layers],
+                [self.dilation_factor**i for i in range(L)],
+                use_ln=self.ln, rates=(rate,) * L, seeds=seeds,
+            )
+        else:
+            for layer in layers:
+                x = layer(x, mask, deterministic)
         # output dense stays float32: its trailing dims are class logits
         return TorchDense(self.out_dim)(x.astype(jnp.float32))
 
@@ -352,35 +408,67 @@ class X2YMap(nn.Module):
     dropout: float = 0.5
     kq_pos: bool = False
     dtype: Any = None
+    use_pallas: bool = False
+    pallas_interpret: bool = False  # tests only
 
     @nn.compact
     def __call__(self, x_feat, y_feat, x_pos=None, y_pos=None, x_mask=None, deterministic=True):
-        xk_in = add_pos(x_feat, x_pos) if (x_pos is not None and self.kq_pos) else x_feat
-        yq_in = add_pos(y_feat, y_pos) if (y_pos is not None and self.kq_pos) else y_feat
+        d = self.head_dim
+        Cx, Cy = x_feat.shape[-1], y_feat.shape[-1]
+        wk = self.param("xk_kernel", torch_linear_kernel_init, (Cx, d))
+        bk = self.param("xk_bias", torch_linear_bias_init(Cx), (d,))
+        wv = self.param("xv_kernel", torch_linear_kernel_init, (Cx, d))
+        bv = self.param("xv_bias", torch_linear_bias_init(Cx), (d,))
+        wq = self.param("yq_kernel", torch_linear_kernel_init, (Cy, d))
+        bq = self.param("yq_bias", torch_linear_bias_init(Cy), (d,))
 
-        xk = TorchDense(self.head_dim, dtype=self.dtype)(xk_in)
-        xv = TorchDense(self.head_dim, dtype=self.dtype)(x_feat)
-        yq = TorchDense(self.head_dim, dtype=self.dtype)(yq_in)
+        use_kq_xpos = x_pos is not None and self.kq_pos
+        use_kq_ypos = y_pos is not None and self.kq_pos
 
-        # logits/probs stay f32 — they are materialized for losses and decode
-        logits = jnp.einsum(
-            "byd,bxd->byx", yq, xk, preferred_element_type=jnp.float32
-        ) / math.sqrt(self.head_dim)
-        if x_mask is not None:
-            logits = jnp.where(x_mask[:, None, :], logits, -jnp.inf)
-        probs = jax.nn.softmax(logits, axis=-1)
+        if self.use_pallas:
+            # fused projection+logits+softmax+attend kernel; valid-key masks
+            # are prefix-contiguous by construction (data/batching.py)
+            from ..ops.pallas.x2y_attn import x2y_attention
 
-        attn_feat = jnp.einsum(
-            "byx,bxh->byh", _cast(probs, self.dtype), xv,
-            preferred_element_type=jnp.float32,
-        )
+            X = x_feat.shape[1]
+            x_len = (x_mask.astype(jnp.int32).sum(axis=1) if x_mask is not None
+                     else jnp.full((x_feat.shape[0],), X, jnp.int32))
+            xc = _cast(x_feat, self.dtype)
+            yc = _cast(y_feat, self.dtype)
+            zeros_x = jnp.zeros_like(xc) if not use_kq_xpos else _poslike(x_pos, xc)
+            zeros_y = jnp.zeros_like(yc) if not use_kq_ypos else _poslike(y_pos, yc)
+            attn_feat, probs, logits = x2y_attention(
+                yc, zeros_y, xc, zeros_x,
+                _cast(wk, self.dtype), bk, _cast(wv, self.dtype), bv,
+                _cast(wq, self.dtype), bq, x_len,
+                interpret=self.pallas_interpret,
+            )
+        else:
+            xk_in = add_pos(x_feat, x_pos) if use_kq_xpos else x_feat
+            yq_in = add_pos(y_feat, y_pos) if use_kq_ypos else y_feat
+            xk = _cast(xk_in, self.dtype) @ _cast(wk, self.dtype) + bk
+            xv = _cast(x_feat, self.dtype) @ _cast(wv, self.dtype) + bv
+            yq = _cast(yq_in, self.dtype) @ _cast(wq, self.dtype) + bq
+
+            # logits/probs stay f32 — they are materialized for losses/decode
+            logits = jnp.einsum(
+                "byd,bxd->byx", yq, xk, preferred_element_type=jnp.float32
+            ) / math.sqrt(d)
+            if x_mask is not None:
+                logits = jnp.where(x_mask[:, None, :], logits, -jnp.inf)
+            probs = jax.nn.softmax(logits, axis=-1)
+
+            attn_feat = jnp.einsum(
+                "byx,bxh->byh", _cast(probs, self.dtype), xv,
+                preferred_element_type=jnp.float32,
+            )
+            if x_mask is not None:
+                # keep stored logits finite at masked keys for log-softmax
+                logits = jnp.where(x_mask[:, None, :], logits, -1e9)
+
         concat = jnp.concatenate([y_feat, attn_feat.astype(y_feat.dtype)], axis=-1)
         concat = nn.Dropout(self.dropout)(concat, deterministic=deterministic)
         y_out = TorchDense(self.y_outdim)(concat)
-
-        if x_mask is not None:
-            # keep stored logits finite at masked keys for downstream log-softmax
-            logits = jnp.where(x_mask[:, None, :], logits, -1e9)
         return y_out, probs, logits
 
 

@@ -20,7 +20,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops import masking, segments
-from ..ops.verbnoun_compose import composed_argmax
+from ..ops.verbnoun_compose import composed_argmax  # noqa: F401
 from . import layers as L
 from .blocks import BlockCfg, make_abranch, make_fbranch, make_x2y, resolve_block_cfgs
 
@@ -98,14 +98,15 @@ class _TDUCore(nn.Module):
     gru_layers: int
 
     @nn.compact
-    def __call__(self, frame_feature, frame_mask, vids, nids, deterministic):
+    def __call__(self, frame_feature, frame_mask, vids, nids, deterministic, tables=None):
         S = self.s_pred_cap
         cprob = frame_feature[..., -(self.n1 + self.n2):]
         vprob, nprob = cprob[..., : self.n1], cprob[..., self.n1 :]
         # argmax of the composed action probs == argmax of summed log-probs;
-        # streamed over action chunks instead of materializing (T, n_act)
+        # factored over (verb, noun) instead of materializing (T, n_act)
         pred = composed_argmax(
-            jnp.log(jnp.maximum(vprob, 1e-30)), jnp.log(jnp.maximum(nprob, 1e-30)), vids, nids
+            jnp.log(jnp.maximum(vprob, 1e-30)), jnp.log(jnp.maximum(nprob, 1e-30)), vids, nids,
+            tables=tables,
         )
 
         seg_id, _ = jax.vmap(lambda p, m: segments.segment_ids_from_pred(p, m, S))(pred, frame_mask)
@@ -139,14 +140,14 @@ class InputBlockTDUVN(nn.Module):
 
     @nn.compact
     def __call__(self, frame_feature, action_feature, frame_pos, action_pos,
-                 frame_mask, token_mask, vids, nids, deterministic):
+                 frame_mask, token_mask, vids, nids, deterministic, tables=None):
         c = self.c
         frame_feature = make_fbranch(c, self.in_dim, "frame_branch")(frame_feature, frame_mask, deterministic)
         frame_feature, frame_clogit = process_feature_vn(frame_feature, self.n1, self.n2)
 
         # the reference's 'I' block uses a fixed 2-layer segment GRU (:370)
         tdu = _TDUCore(c, self.n1, self.n2, self.s_pred_cap, gru_layers=2, name="tdu")(
-            frame_feature, frame_mask, vids, nids, deterministic
+            frame_feature, frame_mask, vids, nids, deterministic, tables=tables
         )
         seg_pos = frame_pos[tdu["centers"]]
 
@@ -183,10 +184,10 @@ class UpdateBlockTDUVN(nn.Module):
 
     @nn.compact
     def __call__(self, frame_feature, action_feature, frame_pos, action_pos,
-                 frame_mask, token_mask, vids, nids, deterministic):
+                 frame_mask, token_mask, vids, nids, deterministic, tables=None):
         c = self.c
         tdu = _TDUCore(c, self.n1, self.n2, self.s_pred_cap, gru_layers=c.s_layers, name="tdu")(
-            frame_feature, frame_mask, vids, nids, deterministic
+            frame_feature, frame_mask, vids, nids, deterministic, tables=tables
         )
         seg_feature = tdu["seg_feature"]
         seg_valid = tdu["seg_valid"]
@@ -257,6 +258,10 @@ class VerbNounFACT(nn.Module):
         bi = self.block_cfgs[0]
         vids = jnp.asarray(self.vids, jnp.int32)
         nids = jnp.asarray(self.nids, jnp.int32)
+        # factored (verb,noun) argmax tables measured 3x SLOWER than the dense
+        # gather on v5e (XLA does not fuse the (T,n1,n2) broadcast-max well;
+        # scripts/bench_epic.py) — keep the dense composition
+        tables = None
 
         frame_pos = L.positional_encoding_table(T, bi.hid_dim, empty=not self.fpos)
 
@@ -300,7 +305,7 @@ class VerbNounFACT(nn.Module):
                 raise ValueError(f"verb/noun model only supports 'I'/'U' blocks, got {c.kind!r}")
             frame_feature, action_feature, saves = block(
                 frame_feature, action_feature, frame_pos, action_pos, mask, token_mask,
-                vids, nids, deterministic,
+                vids, nids, deterministic, tables=tables,
             )
             saves_list.append(saves)
 

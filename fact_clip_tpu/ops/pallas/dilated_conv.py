@@ -215,6 +215,203 @@ def _bwd(dilation, use_ln, eps, rate, tile, interpret, res, g):
 _dr_vjp.defvjp(_fwd, _bwd)
 
 
+# ---------------------------------------------------------------------------
+# pad-once stack: a whole MSTCN tower of dilated-residual layers with ONE
+# halo pad at entry and ONE slice at exit.  The per-layer jnp.pad / [:, :T]
+# of the single-layer API cost a full stream read+write each — XLA fuses
+# them at small batch but materializes them at B>=32 (profiled on v5e:
+# pad+slice+copy grew from 0.02 to 0.14 ms/video between B=8 and B=32).
+# Buffers between layers live in the (B, h + T_pad + h, C) extended layout;
+# halo regions hold garbage (never written) — edge tiles zero their reads
+# in-register, and every layer re-zeroes padded frames at write time via the
+# frame mask (same semantics as the reference's per-layer x*mask).
+
+
+def _stack_kernel(seed_ref, len_ref, x_ref, wd_ref, bd_ref, w1_ref, b1_ref, g_ref, beta_ref,
+                  o_ref, *, dilation: int, halo: int, tile: int, use_ln: bool,
+                  eps: float, rate: float, n_tiles: int):
+    d, hp = dilation, halo
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    # x_ref window: (1, tile + 2*halo, C) at start t*tile in the extended
+    # buffer; center rows sit at [halo, halo + tile).
+    left = x_ref[0, hp - d : hp - d + tile, :]
+    mid = x_ref[0, hp : hp + tile, :]
+    right = x_ref[0, hp + d : hp + d + tile, :]
+    # valid-frame write mask from the video length (frame masks are always a
+    # contiguous prefix — batching.py zero-pads suffixes)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    mask = ((t * tile + row) < len_ref[b]).astype(jnp.float32)
+
+    # edge tiles: reads that reach into the (unwritten) halo garbage are
+    # exactly the first/last `d` rows — zero them (conv SAME zero padding)
+    left = jnp.where((t == 0) & (row < d), 0.0, left.astype(jnp.float32))
+    right = jnp.where((t == n_tiles - 1) & (row >= tile - d), 0.0, right.astype(jnp.float32))
+    left = left.astype(mid.dtype)
+    right = right.astype(mid.dtype)
+
+    acc = jnp.dot(left, wd_ref[0], preferred_element_type=jnp.float32)
+    acc += jnp.dot(mid, wd_ref[1], preferred_element_type=jnp.float32)
+    acc += jnp.dot(right, wd_ref[2], preferred_element_type=jnp.float32)
+    acc = jax.nn.relu(acc + bd_ref[:].astype(jnp.float32))
+
+    out = jnp.dot(acc.astype(mid.dtype), w1_ref[:], preferred_element_type=jnp.float32)
+    out = out + b1_ref[:].astype(jnp.float32)
+    if rate > 0.0:
+        _seed_cell(seed_ref, n_tiles)
+        out = out * _keep_mask(rate, out.shape)
+    out = out + mid.astype(jnp.float32)
+
+    if use_ln:
+        mean = out.mean(axis=-1, keepdims=True)
+        var = ((out - mean) ** 2).mean(axis=-1, keepdims=True)
+        out = (out - mean) * jax.lax.rsqrt(var + eps)
+        out = out * g_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
+
+    # write-mask: padded frames stay zero in the inter-layer buffer (the
+    # reference masks at the *input* of every layer — same computation)
+    out = out * mask
+    o_ref[0, :, :] = out.astype(o_ref.dtype)
+
+
+def _stack_layer(x_ext, lengths, wd, bd, w1, b1, gamma, beta, seed, *,
+                 dilation: int, halo_max: int, tile: int, n_tiles: int,
+                 use_ln: bool, eps: float, rate: float, interpret: bool):
+    """One layer on the extended buffer: (B, hm+T_pad+hm, C) -> same shape.
+
+    The read window spans only this layer's own halo (tile + 2*align8(d)
+    rows), positioned inside the shared halo_max layout — small-dilation
+    layers don't pay the max layer's read amplification.  Output halo
+    regions are never written (uninitialized); edge-tile reads mask them
+    in-register, so the garbage never propagates.
+    """
+    B, T_ext, C = x_ext.shape
+    halo_d = -(-dilation // 8) * 8
+    off = halo_max - halo_d
+    assert halo_max % tile == 0  # output blocks must be tile-aligned (Mosaic)
+    kernel = functools.partial(
+        _stack_kernel, dilation=dilation, halo=halo_d, tile=tile, use_ln=use_ln,
+        eps=eps, rate=rate, n_tiles=n_tiles,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(tile + 2 * halo_d), pl.Element(C)),
+                # written as (..)*8 so Mosaic's alignment prover accepts the
+                # constant offset (t*tile + off alone fails on this version)
+                lambda b, t: (b, (t * (tile // 8) + off // 8) * 8, 0),
+            ),
+            pl.BlockSpec((3, C, C), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+            pl.BlockSpec((C, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, C), lambda b, t: (b, t + halo_max // tile, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T_ext, C), x_ext.dtype),
+        interpret=interpret,
+    )(seed, lengths, x_ext, wd, bd, w1, b1, gamma, beta)
+
+
+def _stack_reference(x, mask, layers, dilations, use_ln, eps, rates, seeds, tile, interpret):
+    """XLA reference of the whole stack (used by the backward pass; dropout
+    masks regenerated bit-exactly via dropout_mask)."""
+    m = mask[:, :, None].astype(x.dtype)
+    for (wd, bd, w1, b1, gamma, beta), d, rate, seed in zip(layers, dilations, rates, seeds):
+        xm = x * m
+        a, z_pre = _reference_forward_pieces(xm, wd, bd, w1, b1, d)
+        if rate > 0.0:
+            km = dropout_mask(seed, shape=x.shape, rate=rate, tile=tile, interpret=interpret)
+            z = z_pre * km + xm
+        else:
+            z = z_pre + xm
+        if use_ln:
+            mean = z.mean(axis=-1, keepdims=True)
+            var = ((z - mean) ** 2).mean(axis=-1, keepdims=True)
+            z = (z - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+        x = z * m[:, :, 0:1]  # write-mask invariant of the fused stack
+    return x
+
+
+def dilated_residual_stack(x, mask, layers, dilations, *, use_ln: bool = True,
+                           eps: float = 1e-5, rates=None, seeds=None,
+                           tile: int = 512, interpret: bool = False):
+    """Fused MSTCN tower: N dilated-residual layers, one pad, one slice.
+
+    x: (B, T, C); mask: (B, T) bool; layers: sequence of parameter tuples
+    (wd, bd, w1, b1, gamma, beta); dilations: per-layer dilation ints;
+    rates/seeds: per-layer dropout (rate 0 disables; seed (1,) int32 each).
+
+    Returns (B, T, C) with padded frames zeroed (reference semantics: every
+    layer masks its input, so outputs at padded frames are zero here).
+    """
+    n = len(layers)
+    if rates is None:
+        rates = (0.0,) * n
+    if seeds is None:
+        seeds = (jnp.zeros((1,), jnp.int32),) * n
+    rates = tuple(float(r) for r in rates)
+    dilations = tuple(int(d) for d in dilations)
+    return _stack_vjp(x, mask, tuple(layers), tuple(seeds), dilations, use_ln, eps,
+                      rates, tile, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _stack_vjp(x, mask, layers, seeds, dilations, use_ln, eps, rates, tile, interpret):
+    return _stack_forward(x, mask, layers, seeds, dilations, use_ln, eps, rates, tile, interpret)
+
+
+def _stack_forward(x, mask, layers, seeds, dilations, use_ln, eps, rates, tile, interpret):
+    B, T, C = x.shape
+    _, tile, n_tiles = _tiling(T, tile, 1)
+    T_pad = n_tiles * tile
+    # buffer offset = whole tiles >= the largest layer halo, so every layer's
+    # output windows are block-aligned (Mosaic requires provable alignment)
+    halo_req = -(-max(dilations) // 8) * 8
+    halo = -(-halo_req // tile) * tile
+
+    xm = x * mask[:, :, None].astype(x.dtype)
+    x_ext = jnp.pad(xm, ((0, 0), (halo, halo + (T_pad - T)), (0, 0)))  # the ONE pad
+    lengths = mask.astype(jnp.int32).sum(axis=1)  # masks are prefix-contiguous
+
+    for (wd, bd, w1, b1, gamma, beta), d, rate, seed in zip(layers, dilations, rates, seeds):
+        x_ext = _stack_layer(
+            x_ext, lengths, wd, bd, w1, b1, gamma, beta, seed,
+            dilation=d, halo_max=halo, tile=tile, n_tiles=n_tiles,
+            use_ln=use_ln, eps=eps, rate=rate, interpret=interpret,
+        )
+    return x_ext[:, halo : halo + T]  # the ONE slice
+
+
+def _stack_fwd(x, mask, layers, seeds, dilations, use_ln, eps, rates, tile, interpret):
+    y = _stack_forward(x, mask, layers, seeds, dilations, use_ln, eps, rates, tile, interpret)
+    return y, (x, mask, layers, seeds)
+
+
+def _stack_bwd(dilations, use_ln, eps, rates, tile, interpret, res, g):
+    x, mask, layers, seeds = res
+
+    def ref(x, layers):
+        return _stack_reference(x, mask, layers, dilations, use_ln, eps, rates, seeds,
+                                tile, interpret)
+
+    _, vjp = jax.vjp(ref, x, layers)
+    dx, dlayers = vjp(g)
+    dmask = np.zeros(mask.shape, jax.dtypes.float0)
+    dseeds = tuple(np.zeros(s.shape, jax.dtypes.float0) for s in seeds)
+    return dx, dmask, dlayers, dseeds
+
+
+_stack_vjp.defvjp(_stack_fwd, _stack_bwd)
+
+
 @functools.partial(
     jax.jit, static_argnames=("dilation", "use_ln", "eps", "rate", "tile", "interpret")
 )

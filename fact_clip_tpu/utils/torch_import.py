@@ -196,11 +196,18 @@ def _gru(sd, prefix, num_layers):
 
 
 def _x2y(sd, prefix):
+    def kb(torch_prefix):
+        d = _dense(sd, torch_prefix)
+        return d["Dense_0"]["kernel"], d["Dense_0"]["bias"]
+
+    wk, bk = kb(prefix + ".X_K")
+    wv, bv = kb(prefix + ".X_V")
+    wq, bq = kb(prefix + ".Y_Q")
     return {
-        "TorchDense_0": _dense(sd, prefix + ".X_K"),
-        "TorchDense_1": _dense(sd, prefix + ".X_V"),
-        "TorchDense_2": _dense(sd, prefix + ".Y_Q"),
-        "TorchDense_3": _dense(sd, prefix + ".Y_W"),
+        "xk_kernel": wk, "xk_bias": bk,
+        "xv_kernel": wv, "xv_bias": bv,
+        "yq_kernel": wq, "yq_bias": bq,
+        "TorchDense_0": _dense(sd, prefix + ".Y_W"),
     }
 
 

@@ -84,7 +84,7 @@ def test_train_and_eval_cli(cli_env):
     assert os.path.exists(os.path.join(logdir, "args.json"))
     json.load(open(os.path.join(logdir, "args.json")))
 
-    ckpt = sorted(ckpts)[-1]
+    ckpt = sorted(f for f in ckpts if f.startswith("network.iter-"))[-1]
     r2 = _run([os.path.join(REPO, "scripts", "run_eval.py"), "--cfg", "smoke.yaml",
                "--ckpt", os.path.join(logdir, "ckpts", ckpt)], root, env)
     assert r2.returncode == 0, r2.stdout[-2000:] + r2.stderr[-2000:]

@@ -95,3 +95,225 @@ def test_fused_kernel_custom_vjp_matches_autodiff(rng):
     g_ref = jax.grad(ref_loss, argnums=tuple(range(7)))(*args)
     for name, a, b in zip(["x", "wd", "bd", "w1", "b1", "gamma", "beta"], g_fused, g_ref):
         np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-3, err_msg=name)
+
+
+def _rand_layer(rng, C):
+    wd = jnp.array(rng.normal(size=(3, C, C)).astype(np.float32) * 0.08)
+    bd = jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.05)
+    w1 = jnp.array(rng.normal(size=(C, C)).astype(np.float32) * 0.08)
+    b1 = jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.05)
+    g = jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.2 + 1.0)
+    beta = jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.2)
+    return (wd, bd, w1, b1, g, beta)
+
+
+@pytest.mark.parametrize("use_ln", [True, False])
+def test_stack_matches_per_layer(rng, use_ln):
+    """Pad-once fused stack == sequential masked per-layer computation."""
+    from fact_clip_tpu.ops.pallas.dilated_conv import dilated_residual_stack
+
+    B, T, C = 2, 70, 32
+    dilations = [1, 2, 4, 8]
+    x = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[1, 50:] = False
+    mask = jnp.array(mask)
+    layers = [_rand_layer(rng, C) for _ in dilations]
+
+    got = dilated_residual_stack(
+        x, mask, layers, dilations, use_ln=use_ln, tile=32, interpret=True
+    )
+
+    # reference: per-layer mask -> conv -> relu -> 1x1 -> residual -> LN,
+    # with the stack's write-mask (zero padded frames after each layer)
+    ref = x
+    m = mask[:, :, None].astype(x.dtype)
+    for (wd, bd, w1, b1, g, beta), d in zip(layers, dilations):
+        xm = ref * m
+        conv = jax.lax.conv_general_dilated(
+            xm, wd, (1,), [(d, d)], rhs_dilation=(d,),
+            dimension_numbers=("NWC", "WIO", "NWC")) + bd
+        z = jax.nn.relu(conv) @ w1 + b1 + xm
+        if use_ln:
+            mu = z.mean(-1, keepdims=True)
+            var = ((z - mu) ** 2).mean(-1, keepdims=True)
+            z = (z - mu) * jax.lax.rsqrt(var + 1e-5) * g + beta
+        ref = z * m
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_stack_grads_match_reference(rng):
+    from fact_clip_tpu.ops.pallas.dilated_conv import dilated_residual_stack
+
+    B, T, C = 2, 64, 32
+    dilations = [1, 4]
+    x = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[0, 40:] = False
+    mask = jnp.array(mask)
+    layers = tuple(_rand_layer(rng, C) for _ in dilations)
+    lw = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+
+    def loss_stack(x, layers):
+        y = dilated_residual_stack(x, mask, layers, dilations, tile=32, interpret=True)
+        return (lw * y).sum()
+
+    def loss_ref(x, layers):
+        ref = x
+        m = mask[:, :, None].astype(x.dtype)
+        for (wd, bd, w1, b1, g, beta), d in zip(layers, dilations):
+            xm = ref * m
+            conv = jax.lax.conv_general_dilated(
+                xm, wd, (1,), [(d, d)], rhs_dilation=(d,),
+                dimension_numbers=("NWC", "WIO", "NWC")) + bd
+            z = jax.nn.relu(conv) @ w1 + b1 + xm
+            mu = z.mean(-1, keepdims=True)
+            var = ((z - mu) ** 2).mean(-1, keepdims=True)
+            ref = ((z - mu) * jax.lax.rsqrt(var + 1e-5) * g + beta) * m
+        return (lw * ref).sum()
+
+    gx, gl = jax.grad(loss_stack, argnums=(0, 1))(x, layers)
+    gx_r, gl_r = jax.grad(loss_ref, argnums=(0, 1))(x, layers)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r), atol=3e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(gl), jax.tree_util.tree_leaves(gl_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_mstcn_stack_path_matches_unfused(rng):
+    """MSTCN with use_pallas (stack, interpret unavailable -> force interpret
+    via monkeypatched flag) equals the unfused module path on valid frames."""
+    from fact_clip_tpu.models.layers import MSTCN
+    from fact_clip_tpu.ops.pallas import dilated_conv as dc
+
+    B, T, D, H = 2, 60, 12, 32
+    x = jnp.array(rng.normal(size=(B, T, D)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[1, 44:] = False
+    mask = jnp.array(mask)
+
+    # interpret-mode shim: route the stack through interpret=True on CPU
+    orig = dc.dilated_residual_stack
+
+    def interp_stack(*a, **kw):
+        kw["interpret"] = True
+        kw["tile"] = 32
+        return orig(*a, **kw)
+
+    import unittest.mock as mock
+
+    kw = dict(in_dim=D, hid_dim=H, out_dim=H, num_layers=3, dropout=0.0,
+              ln=True, ngroup=1, in_map=True)
+    m_fused = MSTCN(use_pallas=True, **kw)
+    m_plain = MSTCN(use_pallas=False, **kw)
+    params = m_plain.init({"params": jax.random.PRNGKey(0)}, x, mask, True)
+
+    with mock.patch.object(dc, "dilated_residual_stack", interp_stack):
+        y_fused = m_fused.apply(params, x, mask, True)
+    y_plain = m_plain.apply(params, x, mask, True)
+    # valid frames must agree (padded frames differ by design: the fused
+    # stack write-masks, the plain path leaves LN(bias) there — masked later)
+    mv = np.asarray(mask)
+    np.testing.assert_allclose(
+        np.asarray(y_fused)[mv], np.asarray(y_plain)[mv], atol=2e-5
+    )
+
+
+def _x2y_xla_reference(y_in, y_pos, x_in, x_pos, wk, bk, wv, bv, wq, bq, x_len):
+    """Dense XLA reference of the fused X2Y attention (X2YMap math)."""
+    import math as _m
+
+    d = wq.shape[1]
+    xk = (x_in + x_pos) @ wk + bk
+    xv = x_in @ wv + bv
+    yq = (y_in + y_pos) @ wq + bq
+    logits = jnp.einsum("byd,bxd->byx", yq, xk) / _m.sqrt(d)
+    X = x_in.shape[1]
+    colmask = jnp.arange(X)[None, None, :] < x_len[:, None, None]
+    logits = jnp.where(colmask, logits, -1e9)
+    probs = jax.nn.softmax(logits, axis=-1)
+    attn = jnp.einsum("byx,bxd->byd", probs, xv)
+    return attn, probs, logits
+
+
+@pytest.mark.parametrize("X,Y", [(24, 70), (2000, 16)])  # small-X | flash
+def test_x2y_attention_matches_xla(rng, X, Y):
+    from fact_clip_tpu.ops.pallas.x2y_attn import x2y_attention
+
+    B, Cx, Cy, d = 2, 32, 24, 128
+    y_in = jnp.array(rng.normal(size=(B, Y, Cy)).astype(np.float32))
+    y_pos = jnp.array(rng.normal(size=(1, Y, Cy)).astype(np.float32))
+    x_in = jnp.array(rng.normal(size=(B, X, Cx)).astype(np.float32))
+    x_pos = jnp.array(rng.normal(size=(1, X, Cx)).astype(np.float32))
+    wk = jnp.array(rng.normal(size=(Cx, d)).astype(np.float32) * 0.1)
+    bk = jnp.array(rng.normal(size=(d,)).astype(np.float32) * 0.1)
+    wv = jnp.array(rng.normal(size=(Cx, d)).astype(np.float32) * 0.1)
+    bv = jnp.array(rng.normal(size=(d,)).astype(np.float32) * 0.1)
+    wq = jnp.array(rng.normal(size=(Cy, d)).astype(np.float32) * 0.1)
+    bq = jnp.array(rng.normal(size=(d,)).astype(np.float32) * 0.1)
+    x_len = jnp.array([X, X - 5], jnp.int32)
+
+    attn, probs, logits = x2y_attention(
+        y_in, y_pos, x_in, x_pos, wk, bk, wv, bv, wq, bq, x_len,
+        tile=256, interpret=True,
+    )
+    ra, rp, rl = _x2y_xla_reference(
+        y_in, jnp.broadcast_to(y_pos, y_in.shape), x_in,
+        jnp.broadcast_to(x_pos, x_in.shape), wk, bk, wv, bv, wq, bq, x_len,
+    )
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(rl), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(rp), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(attn), np.asarray(ra), atol=2e-4)
+
+
+@pytest.mark.parametrize("X,Y", [(24, 70), (2000, 16)])
+def test_x2y_attention_grads_match_xla(rng, X, Y):
+    from fact_clip_tpu.ops.pallas.x2y_attn import x2y_attention
+
+    B, Cx, Cy, d = 2, 16, 16, 64
+    args = dict(
+        y_in=jnp.array(rng.normal(size=(B, Y, Cy)).astype(np.float32)),
+        y_pos=jnp.array(rng.normal(size=(1, Y, Cy)).astype(np.float32)),
+        x_in=jnp.array(rng.normal(size=(B, X, Cx)).astype(np.float32)),
+        x_pos=jnp.array(rng.normal(size=(1, X, Cx)).astype(np.float32)),
+        wk=jnp.array(rng.normal(size=(Cx, d)).astype(np.float32) * 0.1),
+        bk=jnp.array(rng.normal(size=(d,)).astype(np.float32) * 0.1),
+        wv=jnp.array(rng.normal(size=(Cx, d)).astype(np.float32) * 0.1),
+        bv=jnp.array(rng.normal(size=(d,)).astype(np.float32) * 0.1),
+        wq=jnp.array(rng.normal(size=(Cy, d)).astype(np.float32) * 0.1),
+        bq=jnp.array(rng.normal(size=(d,)).astype(np.float32) * 0.1),
+    )
+    x_len = jnp.array([X, X - 3], jnp.int32)
+    wa = jnp.array(rng.normal(size=(B, Y, d)).astype(np.float32))
+    wp = jnp.array(rng.normal(size=(B, Y, X)).astype(np.float32))
+    wl = jnp.array(rng.normal(size=(B, Y, X)).astype(np.float32))
+
+    names = list(args)
+
+    def loss_fused(*vals):
+        kw = dict(zip(names, vals))
+        attn, probs, logits = x2y_attention(
+            kw["y_in"], kw["y_pos"], kw["x_in"], kw["x_pos"], kw["wk"], kw["bk"],
+            kw["wv"], kw["bv"], kw["wq"], kw["bq"], x_len, tile=256, interpret=True,
+        )
+        return (wa * attn).sum() + (wp * probs).sum() + (wl * logits).sum()
+
+    def loss_ref(*vals):
+        kw = dict(zip(names, vals))
+        attn, probs, logits = _x2y_xla_reference(
+            kw["y_in"], jnp.broadcast_to(kw["y_pos"], kw["y_in"].shape), kw["x_in"],
+            jnp.broadcast_to(kw["x_pos"], kw["x_in"].shape), kw["wk"], kw["bk"],
+            kw["wv"], kw["bv"], kw["wq"], kw["bq"], x_len,
+        )
+        return (wa * attn).sum() + (wp * probs).sum() + (wl * logits).sum()
+
+    vals = tuple(args.values())
+    gf = jax.grad(loss_fused, argnums=tuple(range(len(vals))))(*vals)
+    gr = jax.grad(loss_ref, argnums=tuple(range(len(vals))))(*vals)
+    for n, a, b in zip(names, gf, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        if n == "y_pos":
+            b = b.sum(axis=0, keepdims=True) if b.shape != a.shape else b
+        if n == "x_pos":
+            b = b.sum(axis=0, keepdims=True) if b.shape != a.shape else b
+        tol = 3e-4 * max(1.0, np.abs(b).max())
+        np.testing.assert_allclose(a, b, atol=tol, err_msg=n)

@@ -152,3 +152,33 @@ def test_composed_ops_match_dense(rng):
     ref_pred = np.array(dec.decode_two_branch_logp(action_logp, a2f, jnp.array(dense), 0.1, tm))
     ours_pred = np.array(vc.composed_decode(action_logp, a2f, lv, ln, vids, nids, 0.1, tm, chunk=3))
     np.testing.assert_array_equal(ours_pred, ref_pred)
+
+
+def test_composed_argmax_factored_matches_dense():
+    """Factored (verb,noun) argmax == dense composed argmax (exact)."""
+    from fact_clip_tpu.ops.verbnoun_compose import (
+        build_factored_tables, composed_argmax, composed_argmax_factored,
+    )
+
+    rng = np.random.default_rng(0)
+    n1, n2, n_act = 13, 11, 37
+    pairs = set()
+    while len(pairs) < n_act:
+        pairs.add((int(rng.integers(0, n1)), int(rng.integers(0, n2))))
+    pairs = sorted(pairs)
+    vids = np.array([p[0] for p in pairs], np.int32)
+    nids = np.array([p[1] for p in pairs], np.int32)
+
+    B, T = 3, 50
+    lv = jnp.asarray(rng.normal(size=(B, T, n1)).astype(np.float32))
+    ln = jnp.asarray(rng.normal(size=(B, T, n2)).astype(np.float32))
+
+    dense = composed_argmax(lv, ln, jnp.asarray(vids), jnp.asarray(nids))
+    mask_vn, a_table = build_factored_tables(vids, nids, n1, n2)
+    fact = composed_argmax_factored(lv, ln, jnp.asarray(mask_vn), jnp.asarray(a_table))
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(fact))
+
+    # and through the dispatching wrapper
+    viat = composed_argmax(lv, ln, jnp.asarray(vids), jnp.asarray(nids),
+                           tables=(jnp.asarray(mask_vn), jnp.asarray(a_table)))
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(viat))
