@@ -324,6 +324,7 @@ def measure_reference_train():
 
         from fact_clip.configs.default import get_cfg_defaults as ref_defaults
         from fact_clip.models.blocks import FACT as RefFACT
+        from fact_clip.models.loss import MatchCriterion as RefCriterion
 
         cfg = ref_defaults()
         cfg.FACT.block = "iuUU"
@@ -344,6 +345,7 @@ def measure_reference_train():
         cfg.Loss.nullw = 0.1
 
         net = RefFACT(cfg, D, C).train()
+        net.mcriterion = RefCriterion(cfg, C, [0])
         opt = torch.optim.SGD(net.parameters(), lr=0.01, momentum=0.009)
 
         rng = np.random.default_rng(0)

@@ -154,7 +154,8 @@ def make_fbranch(c: BlockCfg, in_dim: Optional[int], name: str):
     if c.f == "m2":
         return L.MSTCN2(
             in_dim=in_dim, hid_dim=c.f_dim, out_dim=c.hid_dim, num_layers=c.f_layers,
-            dropout=c.dropout, ngroup=c.f_ngp, in_map=f_inmap, dtype=_jdtype(c), name=name,
+            dropout=c.dropout, ngroup=c.f_ngp, in_map=f_inmap, dtype=_jdtype(c),
+            use_pallas=c.pallas, name=name,
         )
     raise ValueError(f"Unknown frame branch {c.f!r}")
 

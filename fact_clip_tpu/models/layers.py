@@ -313,6 +313,8 @@ class MSTCN2(nn.Module):
     in_map: bool = True
     dtype: Any = None
 
+    use_pallas: bool = False
+
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
         if self.in_map:
@@ -321,24 +323,55 @@ class MSTCN2(nn.Module):
             assert self.in_dim == self.hid_dim
             f = _cast(x, self.dtype)
         C, g = self.hid_dim, self.ngroup
+        L = self.num_layers
         m = mask[:, :, None].astype(f.dtype)
-        for i in range(self.num_layers):
-            d1 = self.dilation_factor ** (self.num_layers - 1 - i)
+
+        layer_params, dil_pairs = [], []
+        for i in range(L):
+            d1 = self.dilation_factor ** (L - 1 - i)
             d2 = self.dilation_factor**i
             k1 = self.param(f"conv_dilated_1_{i}_kernel", torch_conv_init, (3, C // g, C))
             b1 = self.param(f"conv_dilated_1_{i}_bias", uniform_init(1.0 / math.sqrt(3 * C // g)), (C,))
             k2 = self.param(f"conv_dilated_2_{i}_kernel", torch_conv_init, (3, C // g, C))
             b2 = self.param(f"conv_dilated_2_{i}_bias", uniform_init(1.0 / math.sqrt(3 * C // g)), (C,))
-            f_in = f
-            fm = f * m
-            cat = jnp.concatenate(
-                [_dilated_conv(fm, _cast(k1, self.dtype), b1, d1, g),
-                 _dilated_conv(fm, _cast(k2, self.dtype), b2, d2, g)], axis=-1
-            )
-            f = jax.nn.relu(TorchDense(C, dtype=self.dtype)(cat))
-            if i != self.num_layers - 1:
-                f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
-            f = _cast(f, self.dtype) + f_in
+            wf = self.param(f"fuse_{i}_kernel", torch_linear_kernel_init, (2 * C, C))
+            bf = self.param(f"fuse_{i}_bias", torch_linear_bias_init(2 * C), (C,))
+            layer_params.append((k1, b1, k2, b2, wf, bf))
+            dil_pairs.append((d1, d2))
+
+        if self.use_pallas and g == 1:
+            from ..ops.pallas.dilated_conv import dilated_residual2_stack
+
+            # dropout on all but the last layer (torch MS-TCN++ behavior)
+            rate = 0.0 if deterministic else float(self.dropout)
+            rates = [rate] * (L - 1) + [0.0]
+            if rate > 0.0:
+                bits = jax.random.randint(
+                    self.make_rng("dropout"), (L, 1), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+                )
+                seeds = tuple(bits[i] for i in range(L))
+            else:
+                seeds = None
+            dt = self.dtype
+            stacked = [
+                (_cast(k1, dt), b1, _cast(k2, dt), b2,
+                 _cast(wf[:C], dt), _cast(wf[C:], dt), bf)
+                for (k1, b1, k2, b2, wf, bf) in layer_params
+            ]
+            f = dilated_residual2_stack(f, mask, stacked, dil_pairs, rates=rates, seeds=seeds)
+        else:
+            for i, ((k1, b1, k2, b2, wf, bf), (d1, d2)) in enumerate(zip(layer_params, dil_pairs)):
+                f_in = f
+                fm = f * m
+                cat = jnp.concatenate(
+                    [_dilated_conv(fm, _cast(k1, self.dtype), b1, d1, g),
+                     _dilated_conv(fm, _cast(k2, self.dtype), b2, d2, g)], axis=-1
+                )
+                h = jax.nn.relu(_cast(cat, self.dtype) @ _cast(wf, self.dtype) + bf)
+                f = _cast(h, self.dtype)
+                if i != L - 1:
+                    f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
+                f = f + f_in
         return TorchDense(self.out_dim)(f.astype(jnp.float32))
 
 

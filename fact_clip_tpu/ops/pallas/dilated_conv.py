@@ -462,3 +462,162 @@ def _forward(x, wd, bd, w1, b1, gamma, beta, seed, *, dilation: int,
         interpret=interpret,
     )(seed, x_p, wd, bd, w1, b1, gamma, beta)
     return out[:, :T]
+
+
+# ---------------------------------------------------------------------------
+# MSTCN2 (MS-TCN++ dual-dilation) pad-once stack.  Per layer
+# (models/layers.py::MSTCN2, reference basic.py:222-281):
+#   f = dropout(relu(concat[conv_{d1}(f*m), conv_{d2}(f*m)] @ Wf + bf)) + f
+# The concat@Wf is computed as split matmuls (c1 @ Wf_top + c2 @ Wf_bot), so
+# the (tile, 2C) concat never materializes.  Layout/masking/PRNG identical to
+# the MSTCN stack above.
+
+
+def _stack2_kernel(seed_ref, len_ref, x_ref, k1_ref, b1_ref, k2_ref, b2_ref,
+                   wt_ref, wb_ref, bf_ref, o_ref, *, d1: int, d2: int, halo: int,
+                   tile: int, rate: float, n_tiles: int):
+    hp = halo
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    mid = x_ref[0, hp : hp + tile, :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    mask = ((t * tile + row) < len_ref[b]).astype(jnp.float32)
+
+    def conv3(k_ref, b_ref, d):
+        left = x_ref[0, hp - d : hp - d + tile, :]
+        right = x_ref[0, hp + d : hp + d + tile, :]
+        left = jnp.where((t == 0) & (row < d), 0.0, left.astype(jnp.float32)).astype(mid.dtype)
+        right = jnp.where((t == n_tiles - 1) & (row >= tile - d), 0.0,
+                          right.astype(jnp.float32)).astype(mid.dtype)
+        acc = jnp.dot(left, k_ref[0], preferred_element_type=jnp.float32)
+        acc += jnp.dot(mid, k_ref[1], preferred_element_type=jnp.float32)
+        acc += jnp.dot(right, k_ref[2], preferred_element_type=jnp.float32)
+        return acc + b_ref[:].astype(jnp.float32)
+
+    c1 = conv3(k1_ref, b1_ref, d1)
+    c2 = conv3(k2_ref, b2_ref, d2)
+    h = jnp.dot(c1.astype(mid.dtype), wt_ref[:], preferred_element_type=jnp.float32)
+    h += jnp.dot(c2.astype(mid.dtype), wb_ref[:], preferred_element_type=jnp.float32)
+    h = jax.nn.relu(h + bf_ref[:].astype(jnp.float32))
+    if rate > 0.0:
+        _seed_cell(seed_ref, n_tiles)
+        h = h * _keep_mask(rate, h.shape)
+    out = (h + mid.astype(jnp.float32)) * mask
+    o_ref[0, :, :] = out.astype(o_ref.dtype)
+
+
+def _stack2_layer(x_ext, lengths, params, seed, *, d1: int, d2: int,
+                  halo_max: int, tile: int, n_tiles: int, rate: float,
+                  interpret: bool):
+    k1, b1, k2, b2, wt, wb, bf = params
+    B, T_ext, C = x_ext.shape
+    halo_d = -(-max(d1, d2) // 8) * 8
+    off = halo_max - halo_d
+    assert halo_max % tile == 0
+    kernel = functools.partial(
+        _stack2_kernel, d1=d1, d2=d2, halo=halo_d, tile=tile, rate=rate, n_tiles=n_tiles
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(tile + 2 * halo_d), pl.Element(C)),
+                lambda b, t: (b, (t * (tile // 8) + off // 8) * 8, 0),
+            ),
+            pl.BlockSpec((3, C, C), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+            pl.BlockSpec((3, C, C), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+            pl.BlockSpec((C, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((C, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, C), lambda b, t: (b, t + halo_max // tile, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T_ext, C), x_ext.dtype),
+        interpret=interpret,
+    )(seed, lengths, x_ext, k1, b1, k2, b2, wt, wb, bf)
+
+
+def _stack2_reference(x, mask, layers, dil_pairs, rates, seeds, tile, interpret):
+    import jax.lax as lax
+
+    m = mask[:, :, None].astype(x.dtype)
+    for (k1, b1, k2, b2, wt, wb, bf), (d1, d2), rate, seed in zip(
+        layers, dil_pairs, rates, seeds
+    ):
+        xm = x * m
+
+        def conv(k, bias, d):
+            return lax.conv_general_dilated(
+                xm, k, window_strides=(1,), padding=[(d, d)], rhs_dilation=(d,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            ) + bias
+
+        h = jax.nn.relu(conv(k1, b1, d1) @ wt + conv(k2, b2, d2) @ wb + bf)
+        if rate > 0.0:
+            km = dropout_mask(seed, shape=x.shape, rate=rate, tile=tile, interpret=interpret)
+            h = h * km
+        x = (h + xm) * m[:, :, 0:1]
+    return x
+
+
+def dilated_residual2_stack(x, mask, layers, dil_pairs, *, rates=None, seeds=None,
+                            tile: int = 512, interpret: bool = False):
+    """Fused MS-TCN++ tower.  layers: (k1, b1, k2, b2, wf_top, wf_bot, bf)
+    per layer (wf split along its 2C input rows); dil_pairs: (d1, d2)."""
+    n = len(layers)
+    if rates is None:
+        rates = (0.0,) * n
+    if seeds is None:
+        seeds = (jnp.zeros((1,), jnp.int32),) * n
+    rates = tuple(float(r) for r in rates)
+    dil_pairs = tuple((int(a), int(b)) for a, b in dil_pairs)
+    return _stack2_vjp(x, mask, tuple(layers), tuple(seeds), dil_pairs, rates, tile, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _stack2_vjp(x, mask, layers, seeds, dil_pairs, rates, tile, interpret):
+    return _stack2_forward(x, mask, layers, seeds, dil_pairs, rates, tile, interpret)
+
+
+def _stack2_forward(x, mask, layers, seeds, dil_pairs, rates, tile, interpret):
+    B, T, C = x.shape
+    _, tile, n_tiles = _tiling(T, tile, 1)
+    T_pad = n_tiles * tile
+    halo_req = -(-max(max(p) for p in dil_pairs) // 8) * 8
+    halo = -(-halo_req // tile) * tile
+
+    xm = x * mask[:, :, None].astype(x.dtype)
+    x_ext = jnp.pad(xm, ((0, 0), (halo, halo + (T_pad - T)), (0, 0)))
+    lengths = mask.astype(jnp.int32).sum(axis=1)
+
+    for params, (d1, d2), rate, seed in zip(layers, dil_pairs, rates, seeds):
+        x_ext = _stack2_layer(
+            x_ext, lengths, params, seed, d1=d1, d2=d2, halo_max=halo,
+            tile=tile, n_tiles=n_tiles, rate=rate, interpret=interpret,
+        )
+    return x_ext[:, halo : halo + T]
+
+
+def _stack2_fwd(x, mask, layers, seeds, dil_pairs, rates, tile, interpret):
+    y = _stack2_forward(x, mask, layers, seeds, dil_pairs, rates, tile, interpret)
+    return y, (x, mask, layers, seeds)
+
+
+def _stack2_bwd(dil_pairs, rates, tile, interpret, res, g):
+    x, mask, layers, seeds = res
+
+    def ref(x, layers):
+        return _stack2_reference(x, mask, layers, dil_pairs, rates, seeds, tile, interpret)
+
+    _, vjp = jax.vjp(ref, x, layers)
+    dx, dlayers = vjp(g)
+    dmask = np.zeros(mask.shape, jax.dtypes.float0)
+    dseeds = tuple(np.zeros(s.shape, jax.dtypes.float0) for s in seeds)
+    return dx, dmask, dlayers, dseeds
+
+
+_stack2_vjp.defvjp(_stack2_fwd, _stack2_bwd)

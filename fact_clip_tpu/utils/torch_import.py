@@ -124,11 +124,10 @@ def _mstcn2(sd, prefix, num_layers, in_map):
         out[f"conv_dilated_1_{i}_bias"] = sd(f"{prefix}.conv_dilated_1.{i}.bias")
         out[f"conv_dilated_2_{i}_kernel"] = _conv(sd(f"{prefix}.conv_dilated_2.{i}.weight"))
         out[f"conv_dilated_2_{i}_bias"] = sd(f"{prefix}.conv_dilated_2.{i}.bias")
-        out[f"TorchDense_{idx + i}"] = {"Dense_0": {
-            "kernel": _conv(sd(f"{prefix}.conv_fusion.{i}.weight"))[0],
-            "bias": sd(f"{prefix}.conv_fusion.{i}.bias"),
-        }}
-    out[f"TorchDense_{idx + num_layers}"] = {"Dense_0": {
+        # MS-TCN++ fusion 1x1 conv: kernel (1, 2C, C) -> dense (2C, C)
+        out[f"fuse_{i}_kernel"] = _conv(sd(f"{prefix}.conv_fusion.{i}.weight"))[0]
+        out[f"fuse_{i}_bias"] = sd(f"{prefix}.conv_fusion.{i}.bias")
+    out[f"TorchDense_{idx}"] = {"Dense_0": {
         "kernel": _conv(sd(prefix + ".conv_out.weight"))[0],
         "bias": sd(prefix + ".conv_out.bias"),
     }}

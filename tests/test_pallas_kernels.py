@@ -317,3 +317,84 @@ def test_x2y_attention_grads_match_xla(rng, X, Y):
             b = b.sum(axis=0, keepdims=True) if b.shape != a.shape else b
         tol = 3e-4 * max(1.0, np.abs(b).max())
         np.testing.assert_allclose(a, b, atol=tol, err_msg=n)
+
+
+def test_mstcn2_stack_matches_unfused(rng):
+    """MS-TCN++ pad-once fused stack == the module's unfused path."""
+    from fact_clip_tpu.models.layers import MSTCN2
+    from fact_clip_tpu.ops.pallas import dilated_conv as dc
+
+    B, T, D, H = 2, 70, 12, 32
+    x = jnp.array(rng.normal(size=(B, T, D)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[1, 50:] = False
+    mask = jnp.array(mask)
+
+    orig = dc.dilated_residual2_stack
+
+    def interp_stack(*a, **kw):
+        kw["interpret"] = True
+        kw["tile"] = 32
+        return orig(*a, **kw)
+
+    import unittest.mock as mock
+
+    kw = dict(in_dim=D, hid_dim=H, out_dim=H, num_layers=3, dropout=0.0,
+              ngroup=1, in_map=True)
+    m_fused = MSTCN2(use_pallas=True, **kw)
+    m_plain = MSTCN2(use_pallas=False, **kw)
+    params = m_plain.init({"params": jax.random.PRNGKey(0)}, x, mask, True)
+
+    with mock.patch.object(dc, "dilated_residual2_stack", interp_stack):
+        y_fused = m_fused.apply(params, x, mask, True)
+    y_plain = m_plain.apply(params, x, mask, True)
+    mv = np.asarray(mask)
+    np.testing.assert_allclose(
+        np.asarray(y_fused)[mv], np.asarray(y_plain)[mv], atol=2e-5
+    )
+
+
+def test_mstcn2_stack_grads(rng):
+    from fact_clip_tpu.ops.pallas.dilated_conv import dilated_residual2_stack
+
+    B, T, C = 2, 64, 32
+    dil_pairs = [(4, 1), (1, 4)]
+    x = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+    mask = jnp.array(np.ones((B, T), bool))
+    layers = []
+    for _ in dil_pairs:
+        k1 = jnp.array(rng.normal(size=(3, C, C)).astype(np.float32) * 0.08)
+        b1 = jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.05)
+        k2 = jnp.array(rng.normal(size=(3, C, C)).astype(np.float32) * 0.08)
+        b2 = jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.05)
+        wt = jnp.array(rng.normal(size=(C, C)).astype(np.float32) * 0.08)
+        wb = jnp.array(rng.normal(size=(C, C)).astype(np.float32) * 0.08)
+        bf = jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.05)
+        layers.append((k1, b1, k2, b2, wt, wb, bf))
+    layers = tuple(layers)
+    lw = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+
+    def loss_stack(x, layers):
+        y = dilated_residual2_stack(x, mask, layers, dil_pairs, tile=32, interpret=True)
+        return (lw * y).sum()
+
+    def loss_ref(x, layers):
+        ref = x
+        m = mask[:, :, None].astype(x.dtype)
+        for (k1, b1, k2, b2, wt, wb, bf), (d1, d2) in zip(layers, dil_pairs):
+            xm = ref * m
+
+            def conv(k, bias, d):
+                return jax.lax.conv_general_dilated(
+                    xm, k, (1,), [(d, d)], rhs_dilation=(d,),
+                    dimension_numbers=("NWC", "WIO", "NWC")) + bias
+
+            h = jax.nn.relu(conv(k1, b1, d1) @ wt + conv(k2, b2, d2) @ wb + bf)
+            ref = (h + xm) * m
+        return (lw * ref).sum()
+
+    gx, gl = jax.grad(loss_stack, argnums=(0, 1))(x, layers)
+    gx_r, gl_r = jax.grad(loss_ref, argnums=(0, 1))(x, layers)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r), atol=3e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(gl), jax.tree_util.tree_leaves(gl_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
