@@ -56,12 +56,15 @@ class BlockCfg:
     f_ngp: int
     s_layers: int = 1
     pallas: bool = False
+    pallas_attn: bool = True
     dtype: str = ""  # "" = float32; "bfloat16" = mixed precision (layers.py policy)
 
 
-def _block_cfg_from(node, kind: str, pallas: bool = False, dtype: str = "") -> BlockCfg:
+def _block_cfg_from(node, kind: str, pallas: bool = False, dtype: str = "",
+                    pallas_attn: bool = True) -> BlockCfg:
     return BlockCfg(
         pallas=pallas,
+        pallas_attn=pallas_attn,
         dtype=dtype,
         kind=kind,
         hid_dim=node.hid_dim,
@@ -104,19 +107,20 @@ def resolve_block_cfgs(cfg) -> Tuple[BlockCfg, ...]:
     cfg = cfg.clone()
     pallas = _want_pallas(cfg)
     dtype = _compute_dtype(cfg)
+    pattn = bool(getattr(cfg.TPU, "pallas_attn", True)) if "TPU" in cfg else True
     base = cfg.Bi
     out = []
     for t in cfg.FACT.block:
         if t in ("i", "I"):
-            out.append(_block_cfg_from(cfg.Bi, t, pallas, dtype))
+            out.append(_block_cfg_from(cfg.Bi, t, pallas, dtype, pattn))
         elif t == "u":
             update_from(cfg.Bu, base, inplace=True)
             base = cfg.Bu
-            out.append(_block_cfg_from(cfg.Bu, t, pallas, dtype))
+            out.append(_block_cfg_from(cfg.Bu, t, pallas, dtype, pattn))
         elif t == "U":
             update_from(cfg.BU, base, inplace=True)
             base = cfg.BU
-            out.append(_block_cfg_from(cfg.BU, t, pallas, dtype))
+            out.append(_block_cfg_from(cfg.BU, t, pallas, dtype, pattn))
         else:
             raise ValueError(f"Unknown block type {t!r}")
     return tuple(out)
@@ -170,7 +174,7 @@ def make_abranch(c: BlockCfg, trans: bool, name: str):
         return L.SCADecoder(
             in_dim=c.a_dim, hid_dim=c.a_dim, out_dim=c.hid_dim, frame_dim=c.hid_dim,
             num_layers=c.a_layers, nhead=c.a_nhead, ffdim=c.a_ffdim, dropout=c.dropout,
-            dtype=_jdtype(c), name=name,
+            dtype=_jdtype(c), use_pallas=c.pallas and c.pallas_attn, name=name,
         )
     if c.a in ("gru", "gru_om"):
         assert trans, "GRU action branch requires transcript mode"

@@ -379,16 +379,44 @@ class MSTCN2(nn.Module):
 # attention
 
 
+class _DenseParams(nn.Module):
+    """Parameter twin of an nn.Dense (same scope leaves: kernel/bias) whose
+    weights are consumed by a fused kernel instead of being applied here."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param("kernel", nn.initializers.xavier_uniform(), (in_dim, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
-    """torch nn.MultiheadAttention equivalent (batch-first, masked keys)."""
+    """torch nn.MultiheadAttention equivalent (batch-first, masked keys).
+
+    ``key_pos``: optional positional term added to the key-projection input
+    (the caller may pass ``key`` already pos-added instead; ``key_pos`` keeps
+    the raw memory visible so the fused path can add it in-kernel).
+
+    With ``use_pallas``, long-key cross-attention (keys >= pallas_min_keys,
+    prefix-contiguous key_mask — guaranteed by data/batching.py) runs the
+    fused flash kernel (ops/pallas/mha_attn.py): K/V projections, all-head
+    logits, online softmax, in-kernel attention dropout.  Short keys and
+    self-attention keep the XLA path; both paths share one parameter tree.
+    """
 
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
     dtype: Any = None
+    use_pallas: bool = False
+    pallas_interpret: bool = False  # tests only
+    pallas_min_keys: int = 1024
 
     @nn.compact
-    def __call__(self, query, key, value, key_mask=None, deterministic: bool = True):
+    def __call__(self, query, key, value, key_mask=None, deterministic: bool = True,
+                 key_pos=None):
         E, H = self.embed_dim, self.num_heads
         assert E % H == 0
         hd = E // H
@@ -396,6 +424,45 @@ class MultiHeadAttention(nn.Module):
         zeros = nn.initializers.zeros
 
         q = nn.Dense(E, kernel_init=xavier, bias_init=zeros, dtype=self.dtype, name="q_proj")(query)
+
+        B, Nq, _ = q.shape
+        Nk, Ck = key.shape[1], key.shape[-1]
+        fuse = (
+            self.use_pallas
+            and Nk >= self.pallas_min_keys
+            and key is value  # cross-attention to raw memory (SCA layout)
+            and E % 128 == 0
+            and Ck % 128 == 0
+        )
+        if fuse:
+            from ..ops.pallas.mha_attn import mha_cross_attention
+
+            wk, bk = _DenseParams(E, name="k_proj")(Ck)
+            wv, bv = _DenseParams(E, name="v_proj")(Ck)
+            rate = 0.0 if deterministic else float(self.dropout)
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+                )
+            else:
+                seed = None
+            x_len = (key_mask.astype(jnp.int32).sum(axis=1) if key_mask is not None
+                     else jnp.full((B,), Nk, jnp.int32))
+            xc = _cast(value, self.dtype)
+            pos = (_poslike(key_pos, xc) if key_pos is not None
+                   else jnp.zeros((1,) + xc.shape[1:], xc.dtype))
+            out = mha_cross_attention(
+                _cast(q, self.dtype), xc, pos,
+                _cast(wk, self.dtype), bk, _cast(wv, self.dtype), bv, x_len,
+                num_heads=H, rate=rate, seed=seed, interpret=self.pallas_interpret,
+            )
+            out = nn.Dense(
+                E, kernel_init=torch_linear_kernel_init, bias_init=zeros, name="out_proj"
+            )(out.astype(jnp.float32))
+            return out
+
+        if key_pos is not None:
+            key = add_pos(key, key_pos)
         k = nn.Dense(E, kernel_init=xavier, bias_init=zeros, dtype=self.dtype, name="k_proj")(key)
         v = nn.Dense(E, kernel_init=xavier, bias_init=zeros, dtype=self.dtype, name="v_proj")(value)
 
@@ -544,6 +611,7 @@ class SCALayer(nn.Module):
     dropout: float = 0.1
     attn_dropout: float = 0.1
     dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, tgt, memory, pos=None, query_pos=None, memory_mask=None, deterministic=True):
@@ -555,9 +623,12 @@ class SCALayer(nn.Module):
         tgt = nn.LayerNorm()(tgt)
 
         query = add_pos(tgt, query_pos)
-        key = add_pos(memory, pos)
-        tgt2 = MultiHeadAttention(self.action_dim, self.nhead, self.attn_dropout, dtype=self.dtype, name="cross_attn")(
-            query, key, memory, key_mask=memory_mask, deterministic=deterministic
+        tgt2 = MultiHeadAttention(
+            self.action_dim, self.nhead, self.attn_dropout, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="cross_attn",
+        )(
+            query, memory, memory, key_mask=memory_mask, deterministic=deterministic,
+            key_pos=pos,
         )
         tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
         tgt = nn.LayerNorm()(tgt)
@@ -606,6 +677,7 @@ class SCADecoder(nn.Module):
     ffdim: int
     dropout: float = 0.1
     dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, tgt, memory, pos=None, query_pos=None, memory_mask=None, deterministic=True):
@@ -614,7 +686,7 @@ class SCADecoder(nn.Module):
         for i in range(self.num_layers):
             out = SCALayer(
                 self.hid_dim, self.frame_dim, self.nhead, self.ffdim, self.dropout, self.dropout,
-                dtype=self.dtype, name=f"layer{i}",
+                dtype=self.dtype, use_pallas=self.use_pallas, name=f"layer{i}",
             )(out, memory, pos=pos, query_pos=query_pos, memory_mask=memory_mask, deterministic=deterministic)
         out = nn.LayerNorm()(out)
         return TorchDense(self.out_dim)(out)

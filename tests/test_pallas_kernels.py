@@ -398,3 +398,87 @@ def test_mstcn2_stack_grads(rng):
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r), atol=3e-4)
     for a, b in zip(jax.tree_util.tree_leaves(gl), jax.tree_util.tree_leaves(gl_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# fused multi-head cross-attention (ops/pallas/mha_attn.py)
+
+
+def test_mha_cross_attention_matches_xla(rng):
+    from fact_clip_tpu.ops.pallas.mha_attn import _mha_reference, mha_cross_attention
+
+    B, M, X, E, Cx, H = 2, 10, 1500, 256, 256, 8
+    q = jnp.array(rng.normal(size=(B, M, E)).astype(np.float32))
+    x = jnp.array(rng.normal(size=(B, X, Cx)).astype(np.float32))
+    pos = jnp.array(rng.normal(size=(1, X, Cx)).astype(np.float32))
+    wk = jnp.array(rng.normal(size=(Cx, E)).astype(np.float32) * 0.05)
+    bk = jnp.array(rng.normal(size=(E,)).astype(np.float32) * 0.05)
+    wv = jnp.array(rng.normal(size=(Cx, E)).astype(np.float32) * 0.05)
+    bv = jnp.array(rng.normal(size=(E,)).astype(np.float32) * 0.05)
+    x_len = jnp.array([X, X - 321], jnp.int32)
+
+    out = mha_cross_attention(q, x, pos, wk, bk, wv, bv, x_len, num_heads=H,
+                              tile=256, interpret=True)
+    ref = _mha_reference(q, x, pos, wk, bk, wv, bv, x_len, None, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
+
+
+def test_mha_cross_attention_grads_match_xla(rng):
+    from fact_clip_tpu.ops.pallas.mha_attn import _mha_reference, mha_cross_attention
+
+    B, M, X, E, Cx, H = 2, 4, 700, 128, 128, 8
+    args = dict(
+        q=jnp.array(rng.normal(size=(B, M, E)).astype(np.float32)),
+        x=jnp.array(rng.normal(size=(B, X, Cx)).astype(np.float32)),
+        pos=jnp.array(rng.normal(size=(1, X, Cx)).astype(np.float32)),
+        wk=jnp.array(rng.normal(size=(Cx, E)).astype(np.float32) * 0.05),
+        bk=jnp.array(rng.normal(size=(E,)).astype(np.float32) * 0.05),
+        wv=jnp.array(rng.normal(size=(Cx, E)).astype(np.float32) * 0.05),
+        bv=jnp.array(rng.normal(size=(E,)).astype(np.float32) * 0.05),
+    )
+    x_len = jnp.array([X, X - 123], jnp.int32)
+    lw = jnp.array(rng.normal(size=(B, M, E)).astype(np.float32))
+    names = list(args)
+
+    def loss_fused(*vals):
+        kw = dict(zip(names, vals))
+        out = mha_cross_attention(kw["q"], kw["x"], kw["pos"], kw["wk"], kw["bk"],
+                                  kw["wv"], kw["bv"], x_len, num_heads=H,
+                                  tile=256, interpret=True)
+        return (lw * out).sum()
+
+    def loss_ref(*vals):
+        kw = dict(zip(names, vals))
+        out = _mha_reference(kw["q"], kw["x"], kw["pos"], kw["wk"], kw["bk"],
+                             kw["wv"], kw["bv"], x_len, None, H)
+        return (lw * out).sum()
+
+    vals = tuple(args.values())
+    gf = jax.grad(loss_fused, argnums=tuple(range(len(vals))))(*vals)
+    gr = jax.grad(loss_ref, argnums=tuple(range(len(vals))))(*vals)
+    for n, a, b in zip(names, gf, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 3e-4 * max(1.0, np.abs(b).max())
+        np.testing.assert_allclose(a, b, atol=tol, err_msg=n)
+
+
+def test_mha_module_fused_matches_plain(rng):
+    """MultiHeadAttention(use_pallas) == the XLA module path, shared params."""
+    from fact_clip_tpu.models.layers import MultiHeadAttention, add_pos
+
+    B, M, X, E, H = 2, 8, 1200, 128, 8
+    query = jnp.array(rng.normal(size=(B, M, E)).astype(np.float32))
+    memory = jnp.array(rng.normal(size=(B, X, E)).astype(np.float32))
+    pos = jnp.array(rng.normal(size=(X, E)).astype(np.float32))
+    key_mask = np.ones((B, X), bool)
+    key_mask[1, 900:] = False
+    key_mask = jnp.array(key_mask)
+
+    plain = MultiHeadAttention(E, H, dropout=0.0)
+    fused = MultiHeadAttention(E, H, dropout=0.0, use_pallas=True,
+                               pallas_interpret=True, pallas_min_keys=64)
+    params = plain.init(jax.random.PRNGKey(0), query, memory, memory,
+                        key_mask=key_mask, key_pos=pos)
+    y_plain = plain.apply(params, query, memory, memory, key_mask=key_mask, key_pos=pos)
+    y_fused = fused.apply(params, query, memory, memory, key_mask=key_mask, key_pos=pos)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_plain), atol=3e-4)
