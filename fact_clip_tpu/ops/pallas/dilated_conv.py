@@ -196,8 +196,9 @@ def _bwd(dilation, use_ln, eps, rate, tile, interpret, res, g):
     # conv backward w.r.t. input: correlate dc with flipped taps
     wd_flip = jnp.flip(wd, axis=0).transpose(0, 2, 1)  # (3, C_out, C_in) -> taps on dc
     dx_conv = lax.conv_general_dilated(
-        dc, wd_flip, window_strides=(1,), padding=[(dilation, dilation)],
-        rhs_dilation=(dilation,), dimension_numbers=("NWC", "WIO", "NWC"),
+        dc.astype(wd_flip.dtype), wd_flip, window_strides=(1,),
+        padding=[(dilation, dilation)], rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
     )
     # conv backward w.r.t. weights: dW[k] = sum_t x[t + (k-1)d]^T dc[t]
     d = dilation
@@ -207,9 +208,12 @@ def _bwd(dilation, use_ln, eps, rate, tile, interpret, res, g):
         [jnp.einsum("btc,btd->cd", xp[:, k * d : k * d + T], dc) for k in range(3)], axis=0
     )
 
-    dx = dx_conv + dz  # residual path
+    dx = dx_conv.astype(jnp.float32) + dz  # residual path
     dseed = np.zeros(seed.shape, jax.dtypes.float0)
-    return dx, dwd, dbd, dw1, db1, dgamma, dbeta, dseed
+    # cotangents must carry the primals' dtypes (weights may be bf16 casts)
+    return (dx.astype(x.dtype), dwd.astype(wd.dtype), dbd.astype(bd.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dgamma.astype(gamma.dtype), dbeta.astype(gamma.dtype), dseed)
 
 
 _dr_vjp.defvjp(_fwd, _bwd)
@@ -322,8 +326,13 @@ def _stack_layer(x_ext, lengths, wd, bd, w1, b1, gamma, beta, seed, *,
 
 def _stack_reference(x, mask, layers, dilations, use_ln, eps, rates, seeds, tile, interpret):
     """XLA reference of the whole stack (used by the backward pass; dropout
-    masks regenerated bit-exactly via dropout_mask)."""
-    m = mask[:, :, None].astype(x.dtype)
+    masks regenerated bit-exactly via dropout_mask).
+
+    The inter-layer stream keeps the input dtype (bf16 under mixed precision)
+    exactly like the fused kernel, whose internal f32 math is cast back at
+    each layer's write."""
+    dt = x.dtype
+    m = mask[:, :, None].astype(dt)
     for (wd, bd, w1, b1, gamma, beta), d, rate, seed in zip(layers, dilations, rates, seeds):
         xm = x * m
         a, z_pre = _reference_forward_pieces(xm, wd, bd, w1, b1, d)
@@ -333,10 +342,11 @@ def _stack_reference(x, mask, layers, dilations, use_ln, eps, rates, seeds, tile
         else:
             z = z_pre + xm
         if use_ln:
+            z = z.astype(jnp.float32)
             mean = z.mean(axis=-1, keepdims=True)
             var = ((z - mean) ** 2).mean(axis=-1, keepdims=True)
             z = (z - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
-        x = z * m[:, :, 0:1]  # write-mask invariant of the fused stack
+        x = (z * m[:, :, 0:1].astype(z.dtype)).astype(dt)  # write-mask invariant
     return x
 
 
@@ -544,7 +554,8 @@ def _stack2_layer(x_ext, lengths, params, seed, *, d1: int, d2: int,
 def _stack2_reference(x, mask, layers, dil_pairs, rates, seeds, tile, interpret):
     import jax.lax as lax
 
-    m = mask[:, :, None].astype(x.dtype)
+    dt = x.dtype
+    m = mask[:, :, None].astype(dt)
     for (k1, b1, k2, b2, wt, wb, bf), (d1, d2), rate, seed in zip(
         layers, dil_pairs, rates, seeds
     ):
@@ -560,7 +571,8 @@ def _stack2_reference(x, mask, layers, dil_pairs, rates, seeds, tile, interpret)
         if rate > 0.0:
             km = dropout_mask(seed, shape=x.shape, rate=rate, tile=tile, interpret=interpret)
             h = h * km
-        x = (h + xm) * m[:, :, 0:1]
+        # keep the inter-layer stream in the input dtype, like the kernel
+        x = ((h + xm) * m[:, :, 0:1].astype(h.dtype)).astype(dt)
     return x
 
 

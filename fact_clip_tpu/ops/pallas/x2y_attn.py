@@ -258,9 +258,13 @@ def _small_x_bwd(tile, interpret, res, g):
 
     d_ypos = d_yq_in.sum(axis=0, keepdims=True) if y_pos.shape[0] == 1 else d_yq_in
     d_xpos = d_xk_in.sum(axis=0, keepdims=True) if x_pos_k.shape[0] == 1 else d_xk_in
-    return (d_yq_in, d_ypos, d_xk_in + d_x_from_v, d_xpos,
-            d_wk, d_bk, d_wv, d_bv,
-            (d_wq, d_bq, np.zeros(x_len.shape, jax.dtypes.float0)))
+    # cotangents must carry the primals' dtypes (bf16 under mixed precision)
+    return (d_yq_in.astype(y_in.dtype), d_ypos.astype(y_pos.dtype),
+            (d_xk_in + d_x_from_v).astype(x_in.dtype), d_xpos.astype(x_pos_k.dtype),
+            d_wk.astype(wk.dtype), d_bk.astype(bk.dtype),
+            d_wv.astype(wv.dtype), d_bv.astype(bv.dtype),
+            (d_wq.astype(wq.dtype), d_bq.astype(bq.dtype),
+             np.zeros(x_len.shape, jax.dtypes.float0)))
 
 
 _small_x_vjp.defvjp(_small_x_fwd, _small_x_bwd)
@@ -317,9 +321,13 @@ def _flash_bwd(tile, interpret, res, g):
 
     d_ypos = d_yq_in.sum(axis=0, keepdims=True) if y_pos.shape[0] == 1 else d_yq_in
     d_xpos = d_xk_in.sum(axis=0, keepdims=True) if x_pos_k.shape[0] == 1 else d_xk_in
-    return (d_yq_in, d_ypos, d_xk_in + d_x_from_v, d_xpos,
-            d_wk, d_bk, d_wv, d_bv,
-            (d_wq, d_bq, np.zeros(x_len.shape, jax.dtypes.float0)))
+    # cotangents must carry the primals' dtypes (bf16 under mixed precision)
+    return (d_yq_in.astype(y_in.dtype), d_ypos.astype(y_pos.dtype),
+            (d_xk_in + d_x_from_v).astype(x_in.dtype), d_xpos.astype(x_pos_k.dtype),
+            d_wk.astype(wk.dtype), d_bk.astype(bk.dtype),
+            d_wv.astype(wv.dtype), d_bv.astype(bv.dtype),
+            (d_wq.astype(wq.dtype), d_bq.astype(bq.dtype),
+             np.zeros(x_len.shape, jax.dtypes.float0)))
 
 
 _flash_vjp.defvjp(_flash_fwd, _flash_bwd)

@@ -482,3 +482,185 @@ def test_mha_module_fused_matches_plain(rng):
     y_plain = plain.apply(params, query, memory, memory, key_mask=key_mask, key_pos=pos)
     y_fused = fused.apply(params, query, memory, memory, key_mask=key_mask, key_pos=pos)
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_plain), atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# bf16 backward regressions.  Mixed-precision training feeds the fused
+# kernels bf16 streams/weights with f32 biases/LN params; the custom VJPs
+# must return cotangents in the primals' dtypes, and the stack backwards'
+# recompute references must keep the inter-layer stream in the input dtype
+# (bf16 under mixed precision) exactly like the fused forward does.
+# Round-2 regression: bf16 + pallas + dropout crashed in the backward.
+# The in-kernel PRNG has no CPU interpret rule, so these run rate=0 (the
+# dtype handling is rate-independent); dropout mode is hardware-verified
+# by scripts/verify_pallas_dropout.py.
+# ---------------------------------------------------------------------------
+
+
+def _grad_vec(tree):
+    return np.concatenate(
+        [np.asarray(t, np.float32).ravel() for t in jax.tree_util.tree_leaves(tree)]
+    )
+
+
+def _assert_cotangent_dtypes(primals, grads):
+    for p, g in zip(jax.tree_util.tree_leaves(primals), jax.tree_util.tree_leaves(grads)):
+        assert g.dtype == p.dtype, (g.dtype, p.dtype)
+        assert np.isfinite(np.asarray(g, np.float32)).all()
+
+
+def test_stack_bf16_backward(rng):
+    from fact_clip_tpu.ops.pallas.dilated_conv import dilated_residual_stack
+
+    B, T, C = 2, 64, 32
+    dilations = [1, 4]
+    x32 = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[0, 40:] = False
+    mask = jnp.array(mask)
+    layers32 = tuple(_rand_layer(rng, C) for _ in dilations)
+    seeds = (jnp.array([3], jnp.int32), jnp.array([7], jnp.int32))
+    lw = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+
+    def loss(x, layers):
+        y = dilated_residual_stack(
+            x, mask, layers, dilations, seeds=seeds, tile=32, interpret=True,
+        )
+        return (lw * y.astype(jnp.float32)).sum()
+
+    # module dtype mix: conv/1x1 kernels + stream bf16; biases/LN params f32
+    x16 = x32.astype(jnp.bfloat16)
+    layers16 = tuple(
+        (wd.astype(jnp.bfloat16), bd, w1.astype(jnp.bfloat16), b1, g_, beta)
+        for (wd, bd, w1, b1, g_, beta) in layers32
+    )
+    gx, gl = jax.grad(loss, argnums=(0, 1))(x16, layers16)
+    _assert_cotangent_dtypes((x16, layers16), (gx, gl))
+    gx32, gl32 = jax.grad(loss, argnums=(0, 1))(x32, layers32)
+    v16, v32 = _grad_vec((gx, gl)), _grad_vec((gx32, gl32))
+    cos = float(v16 @ v32 / (np.linalg.norm(v16) * np.linalg.norm(v32) + 1e-12))
+    assert cos > 0.98, cos
+
+
+def test_stack2_bf16_backward(rng):
+    from fact_clip_tpu.ops.pallas.dilated_conv import dilated_residual2_stack
+
+    B, T, C = 2, 48, 32
+    dil_pairs = [(4, 1), (1, 4)]
+    x32 = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[1, 30:] = False
+    mask = jnp.array(mask)
+
+    def rand2(rng):
+        mk = lambda *s: jnp.array(rng.normal(size=s).astype(np.float32) * 0.08)
+        return (mk(3, C, C), mk(C), mk(3, C, C), mk(C), mk(C, C), mk(C, C), mk(C))
+
+    layers32 = tuple(rand2(rng) for _ in dil_pairs)
+    seeds = (jnp.array([11], jnp.int32), jnp.array([13], jnp.int32))
+    lw = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+
+    def loss(x, layers):
+        y = dilated_residual2_stack(
+            x, mask, layers, dil_pairs, seeds=seeds, tile=32, interpret=True,
+        )
+        return (lw * y.astype(jnp.float32)).sum()
+
+    bf = jnp.bfloat16
+    x16 = x32.astype(bf)
+    layers16 = tuple(
+        (k1.astype(bf), b1, k2.astype(bf), b2, wt.astype(bf), wb.astype(bf), bfu)
+        for (k1, b1, k2, b2, wt, wb, bfu) in layers32
+    )
+    gx, gl = jax.grad(loss, argnums=(0, 1))(x16, layers16)
+    _assert_cotangent_dtypes((x16, layers16), (gx, gl))
+    gx32, gl32 = jax.grad(loss, argnums=(0, 1))(x32, layers32)
+    v16, v32 = _grad_vec((gx, gl)), _grad_vec((gx32, gl32))
+    cos = float(v16 @ v32 / (np.linalg.norm(v16) * np.linalg.norm(v32) + 1e-12))
+    assert cos > 0.98, cos
+
+
+def test_single_layer_bf16_backward(rng):
+    """The single-layer hand-derived VJP must also cast its cotangents."""
+    from fact_clip_tpu.ops.pallas.dilated_conv import dilated_residual_layer
+
+    B, T, C = 2, 48, 32
+    bf = jnp.bfloat16
+    x = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32)).astype(bf)
+    wd = jnp.array(rng.normal(size=(3, C, C)).astype(np.float32) * 0.08).astype(bf)
+    bd = jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.05)
+    w1 = jnp.array(rng.normal(size=(C, C)).astype(np.float32) * 0.08).astype(bf)
+    b1 = jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.05)
+    g_ = jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.2 + 1.0)
+    beta = jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.2)
+    seed = jnp.array([5], jnp.int32)
+
+    def loss(*p):
+        y = dilated_residual_layer(
+            *p, dilation=2, seed=seed, tile=32, interpret=True
+        )
+        return (y.astype(jnp.float32) ** 2).sum()
+
+    grads = jax.grad(loss, argnums=tuple(range(7)))(x, wd, bd, w1, b1, g_, beta)
+    _assert_cotangent_dtypes((x, wd, bd, w1, b1, g_, beta), grads)
+
+
+@pytest.mark.parametrize("X,Y", [(24, 70), (2000, 16)])  # small-X | flash
+def test_x2y_bf16_backward(rng, X, Y):
+    from fact_clip_tpu.ops.pallas.x2y_attn import x2y_attention
+
+    B, Cx, Cy, d = 2, 16, 16, 64
+    bf = jnp.bfloat16
+    # module mix: streams + projection kernels bf16, biases f32
+    args = dict(
+        y_in=jnp.array(rng.normal(size=(B, Y, Cy)).astype(np.float32)).astype(bf),
+        y_pos=jnp.array(rng.normal(size=(1, Y, Cy)).astype(np.float32)).astype(bf),
+        x_in=jnp.array(rng.normal(size=(B, X, Cx)).astype(np.float32)).astype(bf),
+        x_pos=jnp.array(rng.normal(size=(1, X, Cx)).astype(np.float32)).astype(bf),
+        wk=jnp.array(rng.normal(size=(Cx, d)).astype(np.float32) * 0.1).astype(bf),
+        bk=jnp.array(rng.normal(size=(d,)).astype(np.float32) * 0.1),
+        wv=jnp.array(rng.normal(size=(Cx, d)).astype(np.float32) * 0.1).astype(bf),
+        bv=jnp.array(rng.normal(size=(d,)).astype(np.float32) * 0.1),
+        wq=jnp.array(rng.normal(size=(Cy, d)).astype(np.float32) * 0.1).astype(bf),
+        bq=jnp.array(rng.normal(size=(d,)).astype(np.float32) * 0.1),
+    )
+    x_len = jnp.array([X, X - 3], jnp.int32)
+    lw = jnp.array(rng.normal(size=(B, Y, d)).astype(np.float32))
+    names = list(args)
+
+    def loss(*vals):
+        kw = dict(zip(names, vals))
+        attn, probs, logits = x2y_attention(
+            kw["y_in"], kw["y_pos"], kw["x_in"], kw["x_pos"], kw["wk"], kw["bk"],
+            kw["wv"], kw["bv"], kw["wq"], kw["bq"], x_len, tile=256, interpret=True,
+        )
+        return (lw * attn.astype(jnp.float32)).sum() + probs.sum() * 0.1
+
+    vals = tuple(args.values())
+    grads = jax.grad(loss, argnums=tuple(range(len(vals))))(*vals)
+    _assert_cotangent_dtypes(vals, grads)
+
+
+def test_mha_bf16_backward(rng):
+    from fact_clip_tpu.ops.pallas.mha_attn import mha_cross_attention
+
+    B, M, X, E, H = 2, 8, 600, 64, 4
+    bf = jnp.bfloat16
+    q = jnp.array(rng.normal(size=(B, M, E)).astype(np.float32)).astype(bf)
+    x = jnp.array(rng.normal(size=(B, X, E)).astype(np.float32)).astype(bf)
+    pos = jnp.array(rng.normal(size=(1, X, E)).astype(np.float32)).astype(bf)
+    wk = jnp.array(rng.normal(size=(E, E)).astype(np.float32) * 0.1).astype(bf)
+    bk = jnp.array(rng.normal(size=(E,)).astype(np.float32) * 0.1)
+    wv = jnp.array(rng.normal(size=(E, E)).astype(np.float32) * 0.1).astype(bf)
+    bv = jnp.array(rng.normal(size=(E,)).astype(np.float32) * 0.1)
+    x_len = jnp.array([X, X - 40], jnp.int32)
+    seed = jnp.array([17], jnp.int32)
+    lw = jnp.array(rng.normal(size=(B, M, E)).astype(np.float32))
+
+    def loss(q, x, pos, wk, bk, wv, bv):
+        out = mha_cross_attention(q, x, pos, wk, bk, wv, bv, x_len, num_heads=H,
+                                  seed=seed, tile=256, interpret=True)
+        return (lw * out.astype(jnp.float32)).sum()
+
+    grads = jax.grad(loss, argnums=tuple(range(7)))(q, x, pos, wk, bk, wv, bv)
+    _assert_cotangent_dtypes((q, x, pos, wk, bk, wv, bv), grads)
