@@ -247,10 +247,13 @@ def _stack_kernel(seed_ref, len_ref, x_ref, wd_ref, bd_ref, w1_ref, b1_ref, g_re
     row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
     mask = ((t * tile + row) < len_ref[b]).astype(jnp.float32)
 
-    # edge tiles: reads that reach into the (unwritten) halo garbage are
-    # exactly the first/last `d` rows — zero them (conv SAME zero padding)
-    left = jnp.where((t == 0) & (row < d), 0.0, left.astype(jnp.float32))
-    right = jnp.where((t == n_tiles - 1) & (row >= tile - d), 0.0, right.astype(jnp.float32))
+    # edge reads that reach into the (unwritten) halo garbage are exactly the
+    # rows whose absolute center-time falls outside [0, T_pad) — zero them
+    # (conv SAME zero padding).  Absolute conditions, not first/last-tile
+    # ones: with dilation > tile the garbage region spans several tiles.
+    pos = t * tile + row
+    left = jnp.where(pos < d, 0.0, left.astype(jnp.float32))
+    right = jnp.where(pos >= n_tiles * tile - d, 0.0, right.astype(jnp.float32))
     left = left.astype(mid.dtype)
     right = right.astype(mid.dtype)
 
@@ -405,18 +408,261 @@ def _stack_fwd(x, mask, layers, seeds, dilations, use_ln, eps, rates, tile, inte
     return y, (x, mask, layers, seeds)
 
 
+# --- fused stack backward -------------------------------------------------
+# The XLA-vjp-of-reference backward moved ~21 GB/step at flagship scale
+# (profiled: per-layer forward recompute plus conv-transpose/weight-grad
+# einsums each materialize full (B, T, C) streams).  These two kernels do
+# the whole layer backward with ~7 stream touches per layer:
+#   A: recompute conv+relu in-tile from the (rematerialized) layer-input
+#      stream, regenerate the dropout keep-mask from the PRNG, run
+#      LN/dropout/1x1 backward, emit dc (pre-relu cotangent) and the
+#      pointwise weight grads (dw1/db1/dbd/dgamma/dbeta).
+#   B: conv-transpose dc into dx (three shifted (tile,C)@(C,C)^T MXU
+#      matmuls + residual), emit the three conv-tap grads dwd[k].
+# Weight grads accumulate across the sequential (B, n_tiles) grid into
+# constant-index output blocks (zeroed at the first cell).
+
+
+def _stack_bwd_dc_kernel(seed_ref, len_ref, x_ref, g_ref, wd_ref, bd_ref,
+                         w1_ref, b1_ref, gamma_ref, *out_refs,
+                         dilation: int, halo: int, tile: int, use_ln: bool,
+                         eps: float, rate: float, n_tiles: int):
+    if use_ln:
+        dc_ref, dz_ref, dw1_ref, db1_ref, dbd_ref, dgamma_ref, dbeta_ref = out_refs
+    else:
+        dc_ref, dw1_ref, db1_ref, dbd_ref = out_refs
+    d, hp = dilation, halo
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    valid = ((t * tile + row) < len_ref[b]).astype(jnp.float32)
+
+    # recompute the forward pieces bit-exactly (same op order as _stack_kernel)
+    left = x_ref[0, hp - d : hp - d + tile, :]
+    mid = x_ref[0, hp : hp + tile, :]
+    right = x_ref[0, hp + d : hp + d + tile, :]
+    pos = t * tile + row
+    left = jnp.where(pos < d, 0.0, left.astype(jnp.float32)).astype(mid.dtype)
+    right = jnp.where(pos >= n_tiles * tile - d, 0.0,
+                      right.astype(jnp.float32)).astype(mid.dtype)
+    acc = jnp.dot(left, wd_ref[0], preferred_element_type=jnp.float32)
+    acc += jnp.dot(mid, wd_ref[1], preferred_element_type=jnp.float32)
+    acc += jnp.dot(right, wd_ref[2], preferred_element_type=jnp.float32)
+    acc += bd_ref[:].astype(jnp.float32)
+    a = jax.nn.relu(acc)
+    a_c = a.astype(mid.dtype)
+
+    g = g_ref[0].astype(jnp.float32) * valid
+    if rate > 0.0:
+        _seed_cell(seed_ref, n_tiles)
+        keep = _keep_mask(rate, g.shape)
+    else:
+        keep = None
+
+    if use_ln:
+        h = jnp.dot(a_c, w1_ref[:], preferred_element_type=jnp.float32)
+        h = h + b1_ref[:].astype(jnp.float32)
+        if keep is not None:
+            h = h * keep
+        z = h + mid.astype(jnp.float32)
+        mean = z.mean(axis=-1, keepdims=True)
+        var = ((z - mean) ** 2).mean(axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        xhat = (z - mean) * rstd
+        gg = g * gamma_ref[:].astype(jnp.float32)
+        dz = (gg - gg.mean(axis=-1, keepdims=True)
+              - xhat * (gg * xhat).mean(axis=-1, keepdims=True)) * rstd
+        dgamma_part = (g * xhat).sum(axis=0)[None, :]
+        dbeta_part = g.sum(axis=0)[None, :]
+        dz_ref[0, :, :] = dz.astype(dz_ref.dtype)
+    else:
+        dz = g
+
+    dh = dz * keep if keep is not None else dz
+    dh_c = dh.astype(mid.dtype)
+    # da = dh @ w1^T (contract the output channel of both)
+    da = jax.lax.dot_general(dh_c, w1_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dc = da * (acc > 0)
+    dc_ref[0, :, :] = dc.astype(dc_ref.dtype)
+
+    dw1_part = jax.lax.dot_general(a_c, dh_c, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    db1_part = dh.sum(axis=0)[None, :]
+    dbd_part = dc.sum(axis=0)[None, :]
+
+    @pl.when((b == 0) & (t == 0))
+    def _init():
+        dw1_ref[:, :] = jnp.zeros_like(dw1_ref)
+        db1_ref[:, :] = jnp.zeros_like(db1_ref)
+        dbd_ref[:, :] = jnp.zeros_like(dbd_ref)
+        if use_ln:
+            dgamma_ref[:, :] = jnp.zeros_like(dgamma_ref)
+            dbeta_ref[:, :] = jnp.zeros_like(dbeta_ref)
+
+    dw1_ref[:, :] += dw1_part
+    db1_ref[:, :] += db1_part
+    dbd_ref[:, :] += dbd_part
+    if use_ln:
+        dgamma_ref[:, :] += dgamma_part
+        dbeta_ref[:, :] += dbeta_part
+
+
+def _stack_bwd_dx_kernel(len_ref, x_ref, dc_ref, gsrc_ref, wd_ref,
+                         dx_ref, dwd_ref, *, dilation: int, halo: int,
+                         tile: int, n_tiles: int):
+    d, hp = dilation, halo
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    valid = ((t * tile + row) < len_ref[b]).astype(jnp.float32)
+
+    def window(ref):
+        left = ref[0, hp - d : hp - d + tile, :]
+        mid = ref[0, hp : hp + tile, :]
+        right = ref[0, hp + d : hp + d + tile, :]
+        pos = t * tile + row
+        left = jnp.where(pos < d, 0.0,
+                         left.astype(jnp.float32)).astype(mid.dtype)
+        right = jnp.where(pos >= n_tiles * tile - d, 0.0,
+                          right.astype(jnp.float32)).astype(mid.dtype)
+        return left, mid, right
+
+    x_left, x_mid, x_right = window(x_ref)
+    dc_left, dc_mid, dc_right = window(dc_ref)
+
+    # dx[s] = dc[s+d] @ wd[0]^T + dc[s] @ wd[1]^T + dc[s-d] @ wd[2]^T + dz[s]
+    dims = (((1,), (1,)), ((), ()))
+    dx = jax.lax.dot_general(dc_right, wd_ref[0], dims, preferred_element_type=jnp.float32)
+    dx += jax.lax.dot_general(dc_mid, wd_ref[1], dims, preferred_element_type=jnp.float32)
+    dx += jax.lax.dot_general(dc_left, wd_ref[2], dims, preferred_element_type=jnp.float32)
+    dx += gsrc_ref[0].astype(jnp.float32)
+    dx = dx * valid  # d(layer)/d(x at padded frames) == 0 (input mask)
+    dx_ref[0, :, :] = dx.astype(dx_ref.dtype)
+
+    # dwd[k] = sum_t x[t + (k-1)d]^T dc[t]
+    rdims = (((0,), (0,)), ((), ()))
+    dwd0 = jax.lax.dot_general(x_left, dc_mid, rdims, preferred_element_type=jnp.float32)
+    dwd1 = jax.lax.dot_general(x_mid, dc_mid, rdims, preferred_element_type=jnp.float32)
+    dwd2 = jax.lax.dot_general(x_right, dc_mid, rdims, preferred_element_type=jnp.float32)
+
+    @pl.when((b == 0) & (t == 0))
+    def _init():
+        dwd_ref[:, :, :] = jnp.zeros_like(dwd_ref)
+
+    dwd_ref[0, :, :] += dwd0
+    dwd_ref[1, :, :] += dwd1
+    dwd_ref[2, :, :] += dwd2
+
+
+def _stack_bwd_layer(x_ext, g_ext, lengths, wd, bd, w1, b1, gamma, seed, *,
+                     dilation: int, halo_max: int, tile: int, n_tiles: int,
+                     use_ln: bool, eps: float, rate: float, interpret: bool):
+    """One layer's backward on the extended layout.  Returns
+    (dx_ext, dwd, dbd, dw1, db1, dgamma, dbeta) with weight grads in f32."""
+    B, T_ext, C = x_ext.shape
+    halo_d = -(-dilation // 8) * 8
+    off = halo_max - halo_d
+    win_spec = pl.BlockSpec(
+        (pl.Element(1), pl.Element(tile + 2 * halo_d), pl.Element(C)),
+        lambda b, t: (b, (t * (tile // 8) + off // 8) * 8, 0),
+    )
+    center_in = pl.BlockSpec(
+        (pl.Element(1), pl.Element(tile), pl.Element(C)),
+        lambda b, t: (b, (t * (tile // 8) + halo_max // 8) * 8, 0),
+    )
+    center_out = pl.BlockSpec((1, tile, C), lambda b, t: (b, t + halo_max // tile, 0))
+    wspec = lambda *shape: pl.BlockSpec(shape, lambda b, t: (0,) * len(shape))  # noqa: E731
+    ext = lambda dt: jax.ShapeDtypeStruct((B, T_ext, C), dt)  # noqa: E731
+
+    kernel_a = functools.partial(
+        _stack_bwd_dc_kernel, dilation=dilation, halo=halo_d, tile=tile,
+        use_ln=use_ln, eps=eps, rate=rate, n_tiles=n_tiles,
+    )
+    vec = jax.ShapeDtypeStruct((1, C), jnp.float32)
+    mat = jax.ShapeDtypeStruct((C, C), jnp.float32)
+    out_shapes = ([ext(x_ext.dtype), ext(x_ext.dtype), mat, vec, vec, vec, vec]
+                  if use_ln else [ext(x_ext.dtype), mat, vec, vec])
+    out_specs = ([center_out, center_out, wspec(C, C), wspec(1, C), wspec(1, C),
+                  wspec(1, C), wspec(1, C)]
+                 if use_ln else [center_out, wspec(C, C), wspec(1, C), wspec(1, C)])
+    outs = pl.pallas_call(
+        kernel_a,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            win_spec, center_in,
+            wspec(3, C, C), wspec(C), wspec(C, C), wspec(C), wspec(C),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(seed, lengths, x_ext, g_ext, wd, bd, w1, b1, gamma)
+    if use_ln:
+        dc_ext, dz_ext, dw1, db1, dbd, dgamma, dbeta = outs
+        gsrc = dz_ext
+    else:
+        dc_ext, dw1, db1, dbd = outs
+        dgamma = dbeta = jnp.zeros((1, C), jnp.float32)
+        gsrc = g_ext
+
+    kernel_b = functools.partial(
+        _stack_bwd_dx_kernel, dilation=dilation, halo=halo_d, tile=tile,
+        n_tiles=n_tiles,
+    )
+    dx_ext, dwd = pl.pallas_call(
+        kernel_b,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            win_spec, win_spec, center_in, wspec(3, C, C),
+        ],
+        out_specs=[center_out, wspec(3, C, C)],
+        out_shape=[ext(x_ext.dtype), jax.ShapeDtypeStruct((3, C, C), jnp.float32)],
+        interpret=interpret,
+    )(lengths, x_ext, dc_ext, gsrc, wd)
+    return dx_ext, dwd, dbd, dw1, db1, dgamma, dbeta
+
+
 def _stack_bwd(dilations, use_ln, eps, rates, tile, interpret, res, g):
     x, mask, layers, seeds = res
+    B, T, C = x.shape
+    _, tile, n_tiles = _tiling(T, tile, 1)
+    T_pad = n_tiles * tile
+    halo_req = -(-max(dilations) // 8) * 8
+    halo = -(-halo_req // tile) * tile
 
-    def ref(x, layers):
-        return _stack_reference(x, mask, layers, dilations, use_ln, eps, rates, seeds,
-                                tile, interpret)
+    # rematerialize the per-layer input streams with the cheap fused forward
+    xm = x * mask[:, :, None].astype(x.dtype)
+    x_ext = jnp.pad(xm, ((0, 0), (halo, halo + (T_pad - T)), (0, 0)))
+    lengths = mask.astype(jnp.int32).sum(axis=1)
+    streams = []
+    for (wd, bd, w1, b1, gamma, beta), d, rate, seed in zip(layers, dilations, rates, seeds):
+        streams.append(x_ext)
+        x_ext = _stack_layer(
+            x_ext, lengths, wd, bd, w1, b1, gamma, beta, seed,
+            dilation=d, halo_max=halo, tile=tile, n_tiles=n_tiles,
+            use_ln=use_ln, eps=eps, rate=rate, interpret=interpret,
+        )
 
-    _, vjp = jax.vjp(ref, x, layers)
-    dx, dlayers = vjp(g)
+    g_ext = jnp.pad(g.astype(x.dtype), ((0, 0), (halo, halo + (T_pad - T)), (0, 0)))
+    dlayers = [None] * len(layers)
+    for i in reversed(range(len(layers))):
+        wd, bd, w1, b1, gamma, beta = layers[i]
+        g_ext, dwd, dbd, dw1, db1, dgamma, dbeta = _stack_bwd_layer(
+            streams[i], g_ext, lengths, wd, bd, w1, b1, gamma, seeds[i],
+            dilation=dilations[i], halo_max=halo, tile=tile, n_tiles=n_tiles,
+            use_ln=use_ln, eps=eps, rate=rates[i], interpret=interpret,
+        )
+        dlayers[i] = (dwd.astype(wd.dtype), dbd[0].astype(bd.dtype),
+                      dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
+                      dgamma[0].astype(gamma.dtype), dbeta[0].astype(beta.dtype))
+
+    dx = g_ext[:, halo : halo + T].astype(x.dtype)
     dmask = np.zeros(mask.shape, jax.dtypes.float0)
     dseeds = tuple(np.zeros(s.shape, jax.dtypes.float0) for s in seeds)
-    return dx, dmask, dlayers, dseeds
+    return dx, dmask, tuple(dlayers), dseeds
 
 
 _stack_vjp.defvjp(_stack_fwd, _stack_bwd)
@@ -496,8 +742,9 @@ def _stack2_kernel(seed_ref, len_ref, x_ref, k1_ref, b1_ref, k2_ref, b2_ref,
     def conv3(k_ref, b_ref, d):
         left = x_ref[0, hp - d : hp - d + tile, :]
         right = x_ref[0, hp + d : hp + d + tile, :]
-        left = jnp.where((t == 0) & (row < d), 0.0, left.astype(jnp.float32)).astype(mid.dtype)
-        right = jnp.where((t == n_tiles - 1) & (row >= tile - d), 0.0,
+        pos = t * tile + row
+        left = jnp.where(pos < d, 0.0, left.astype(jnp.float32)).astype(mid.dtype)
+        right = jnp.where(pos >= n_tiles * tile - d, 0.0,
                           right.astype(jnp.float32)).astype(mid.dtype)
         acc = jnp.dot(left, k_ref[0], preferred_element_type=jnp.float32)
         acc += jnp.dot(mid, k_ref[1], preferred_element_type=jnp.float32)

@@ -2,8 +2,9 @@
 """Profile the full train step on the TPU and attribute device time by op
 group (forward Pallas kernels vs XLA backward convs vs matcher vs optimizer).
 
-Usage: python scripts/profile_train_step.py [B] [outdir]
+Usage: python scripts/profile_train_step.py [B] [outdir] [dtype]
 Writes a jax.profiler trace and prints the per-video ms by op group.
+dtype: float32 (default) or bfloat16.
 """
 
 import functools
@@ -20,6 +21,7 @@ from bench import D, C, NTOKEN, T_VIDEO, log
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 OUT = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/train_trace_b{B}"
+DTYPE = sys.argv[3] if len(sys.argv) > 3 else "float32"
 bench.BATCH = B
 STEPS = 8
 
@@ -39,6 +41,7 @@ def main():
     cfg.TPU.pallas = True
     cfg.Bi.dropout = 0.2
     cfg.TPU.matcher = "auction"
+    cfg.TPU.compute_dtype = DTYPE
     model = build_fact(cfg, D, C, s_pred_cap=128)
 
     rng = np.random.default_rng(0)

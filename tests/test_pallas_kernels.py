@@ -664,3 +664,69 @@ def test_mha_bf16_backward(rng):
 
     grads = jax.grad(loss, argnums=tuple(range(7)))(q, x, pos, wk, bk, wv, bv)
     _assert_cotangent_dtypes((q, x, pos, wk, bk, wv, bv), grads)
+
+
+def test_stack_dilation_larger_than_tile(rng):
+    """Short buckets with deep towers: dilation > tile used to read unwritten
+    halo garbage in tiles past the first/last (zeroing was edge-tile-only)."""
+    from fact_clip_tpu.ops.pallas.dilated_conv import (
+        _stack_reference, dilated_residual_stack)
+
+    B, T, C, d, tile = 2, 100, 32, 64, 16
+    x = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[1, 80:] = False
+    mask = jnp.array(mask)
+    layers = [_rand_layer(rng, C) for _ in range(2)]
+    lw = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+    seeds = (jnp.zeros((1,), jnp.int32),) * 2
+
+    got = dilated_residual_stack(x, mask, layers, [d, d], tile=tile, interpret=True)
+    ref = _stack_reference(x, mask, layers, (d, d), True, 1e-5, (0.0,) * 2,
+                           seeds, tile, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+    gx = jax.grad(lambda x: (lw * dilated_residual_stack(
+        x, mask, layers, [d, d], tile=tile, interpret=True)).sum())(x)
+    gr = jax.grad(lambda x: (lw * _stack_reference(
+        x, mask, layers, (d, d), True, 1e-5, (0.0,) * 2, seeds, tile, True)).sum())(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gr), atol=3e-4)
+
+
+def test_stack_grads_no_ln(rng):
+    """use_ln=False (the flagship f_ln: false recipe) through the fused
+    backward kernels."""
+    from fact_clip_tpu.ops.pallas.dilated_conv import dilated_residual_stack
+
+    B, T, C = 2, 64, 32
+    dilations = [1, 4]
+    x = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[0, 40:] = False
+    mask = jnp.array(mask)
+    layers = tuple(_rand_layer(rng, C) for _ in dilations)
+    lw = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+
+    def loss_stack(x, layers):
+        y = dilated_residual_stack(x, mask, layers, dilations, use_ln=False,
+                                   tile=32, interpret=True)
+        return (lw * y).sum()
+
+    def loss_ref(x, layers):
+        ref = x
+        m = mask[:, :, None].astype(x.dtype)
+        for (wd, bd, w1, b1, g, beta), d in zip(layers, dilations):
+            xm = ref * m
+            conv = jax.lax.conv_general_dilated(
+                xm, wd, (1,), [(d, d)], rhs_dilation=(d,),
+                dimension_numbers=("NWC", "WIO", "NWC")) + bd
+            ref = (jax.nn.relu(conv) @ w1 + b1 + xm) * m
+        return (lw * ref).sum()
+
+    gx, gl = jax.grad(loss_stack, argnums=(0, 1))(x, layers)
+    gx_r, gl_r = jax.grad(loss_ref, argnums=(0, 1))(x, layers)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r), atol=3e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(gl), jax.tree_util.tree_leaves(gl_r)):
+        if a.shape == ():  # gamma/beta grads are zero in no-LN mode
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
