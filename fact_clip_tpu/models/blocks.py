@@ -339,19 +339,25 @@ class UpdateBlockTDU(nn.Module):
             x_mask=token_mask, deterministic=deterministic,
         )
 
-        # ---- temporal upsample (blocks.py:439-447)
-        s2f = jax.vmap(segments.unpool)(seg_out, seg_id)  # (B, T, f_dim)
+        # ---- temporal upsample (blocks.py:439-447).  P rows are one-hot, so
+        # the seg->frame gather is exactly P @ seg_out — and as a matmul its
+        # backward is P^T @ g (another matmul) instead of a scatter-add,
+        # which XLA:TPU executes as a ~latency-bound serial loop (profiled
+        # ~0.25 ms/step per scatter at flagship scale).
+        Pc = P.astype(seg_out.dtype)
+        s2f = jnp.einsum("bts,bsh->bth", Pc, seg_out)  # (B, T, f_dim)
         merged = jnp.concatenate([s2f, frame_feature], axis=-1)
         frame_feature = jax.nn.relu(L.TorchDense(c.f_dim, name="sf_merge")(merged))
 
         frame_feature = make_fbranch(c, None, "frame_branch")(frame_feature, frame_mask, deterministic)
         frame_feature, frame_clogit = process_feature(frame_feature, self.nclass)
 
-        # upsample attention maps to frame granularity (blocks.py:480-483)
+        # upsample attention maps to frame granularity (blocks.py:480-483),
+        # same gather-as-matmul trick (probs stay f32)
         # a2f_attn_seg: (B, S, M) -> per-frame (B, T, M)
-        a2f_attn = jax.vmap(lambda a, s: a[s])(a2f_attn_seg, seg_id)
+        a2f_attn = jnp.einsum("bts,bsm->btm", P, a2f_attn_seg)
         # f2a_attn_seg: (B, M, S) -> (B, M, T)
-        f2a_attn = jax.vmap(lambda a, s: a[:, s])(f2a_attn_seg, seg_id)
+        f2a_attn = jnp.einsum("bms,bts->bmt", f2a_attn_seg, P)
 
         saves = {
             "frame_clogit": frame_clogit,

@@ -232,8 +232,9 @@ _dr_vjp.defvjp(_fwd, _bwd)
 
 
 def _stack_kernel(seed_ref, len_ref, x_ref, wd_ref, bd_ref, w1_ref, b1_ref, g_ref, beta_ref,
-                  o_ref, *, dilation: int, halo: int, tile: int, use_ln: bool,
-                  eps: float, rate: float, n_tiles: int):
+                  o_ref, *maybe_a_ref, dilation: int, halo: int, tile: int,
+                  use_ln: bool, eps: float, rate: float, n_tiles: int,
+                  save_a: bool = False):
     d, hp = dilation, halo
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -261,8 +262,14 @@ def _stack_kernel(seed_ref, len_ref, x_ref, wd_ref, bd_ref, w1_ref, b1_ref, g_re
     acc += jnp.dot(mid, wd_ref[1], preferred_element_type=jnp.float32)
     acc += jnp.dot(right, wd_ref[2], preferred_element_type=jnp.float32)
     acc = jax.nn.relu(acc + bd_ref[:].astype(jnp.float32))
+    acc_c = acc.astype(mid.dtype)
+    if save_a:
+        # stash the relu activations for the backward (training path): the
+        # backward then needs no conv recompute (a > 0 is the relu mask and
+        # a itself feeds dw1)
+        maybe_a_ref[0][0, :, :] = acc_c
 
-    out = jnp.dot(acc.astype(mid.dtype), w1_ref[:], preferred_element_type=jnp.float32)
+    out = jnp.dot(acc_c, w1_ref[:], preferred_element_type=jnp.float32)
     out = out + b1_ref[:].astype(jnp.float32)
     if rate > 0.0:
         _seed_cell(seed_ref, n_tiles)
@@ -283,7 +290,8 @@ def _stack_kernel(seed_ref, len_ref, x_ref, wd_ref, bd_ref, w1_ref, b1_ref, g_re
 
 def _stack_layer(x_ext, lengths, wd, bd, w1, b1, gamma, beta, seed, *,
                  dilation: int, halo_max: int, tile: int, n_tiles: int,
-                 use_ln: bool, eps: float, rate: float, interpret: bool):
+                 use_ln: bool, eps: float, rate: float, interpret: bool,
+                 save_a: bool = False):
     """One layer on the extended buffer: (B, hm+T_pad+hm, C) -> same shape.
 
     The read window spans only this layer's own halo (tile + 2*align8(d)
@@ -291,6 +299,9 @@ def _stack_layer(x_ext, lengths, wd, bd, w1, b1, gamma, beta, seed, *,
     layers don't pay the max layer's read amplification.  Output halo
     regions are never written (uninitialized); edge-tile reads mask them
     in-register, so the garbage never propagates.
+
+    save_a=True additionally emits the relu activations (center rows of an
+    extended-layout buffer) as backward residuals.
     """
     B, T_ext, C = x_ext.shape
     halo_d = -(-dilation // 8) * 8
@@ -298,9 +309,11 @@ def _stack_layer(x_ext, lengths, wd, bd, w1, b1, gamma, beta, seed, *,
     assert halo_max % tile == 0  # output blocks must be tile-aligned (Mosaic)
     kernel = functools.partial(
         _stack_kernel, dilation=dilation, halo=halo_d, tile=tile, use_ln=use_ln,
-        eps=eps, rate=rate, n_tiles=n_tiles,
+        eps=eps, rate=rate, n_tiles=n_tiles, save_a=save_a,
     )
-    return pl.pallas_call(
+    center_out = pl.BlockSpec((1, tile, C), lambda b, t: (b, t + halo_max // tile, 0))
+    ext_shape = jax.ShapeDtypeStruct((B, T_ext, C), x_ext.dtype)
+    out = pl.pallas_call(
         kernel,
         grid=(B, n_tiles),
         in_specs=[
@@ -319,12 +332,11 @@ def _stack_layer(x_ext, lengths, wd, bd, w1, b1, gamma, beta, seed, *,
             pl.BlockSpec((C,), lambda b, t: (0,)),
             pl.BlockSpec((C,), lambda b, t: (0,)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, tile, C), lambda b, t: (b, t + halo_max // tile, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, T_ext, C), x_ext.dtype),
+        out_specs=[center_out, center_out] if save_a else center_out,
+        out_shape=[ext_shape, ext_shape] if save_a else ext_shape,
         interpret=interpret,
     )(seed, lengths, x_ext, wd, bd, w1, b1, gamma, beta)
+    return out  # (out_ext, a_ext) when save_a else out_ext
 
 
 def _stack_reference(x, mask, layers, dilations, use_ln, eps, rates, seeds, tile, interpret):
@@ -381,31 +393,54 @@ def _stack_vjp(x, mask, layers, seeds, dilations, use_ln, eps, rates, tile, inte
     return _stack_forward(x, mask, layers, seeds, dilations, use_ln, eps, rates, tile, interpret)
 
 
-def _stack_forward(x, mask, layers, seeds, dilations, use_ln, eps, rates, tile, interpret):
-    B, T, C = x.shape
+def _stack_layout(T, dilations, tile):
     _, tile, n_tiles = _tiling(T, tile, 1)
     T_pad = n_tiles * tile
     # buffer offset = whole tiles >= the largest layer halo, so every layer's
     # output windows are block-aligned (Mosaic requires provable alignment)
     halo_req = -(-max(dilations) // 8) * 8
     halo = -(-halo_req // tile) * tile
+    return tile, n_tiles, T_pad, halo
+
+
+def _stack_forward(x, mask, layers, seeds, dilations, use_ln, eps, rates, tile,
+                   interpret, with_saves: bool = False):
+    B, T, C = x.shape
+    tile, n_tiles, T_pad, halo = _stack_layout(T, dilations, tile)
 
     xm = x * mask[:, :, None].astype(x.dtype)
     x_ext = jnp.pad(xm, ((0, 0), (halo, halo + (T_pad - T)), (0, 0)))  # the ONE pad
     lengths = mask.astype(jnp.int32).sum(axis=1)  # masks are prefix-contiguous
 
+    streams, a_exts = [], []
     for (wd, bd, w1, b1, gamma, beta), d, rate, seed in zip(layers, dilations, rates, seeds):
+        if with_saves:
+            streams.append(x_ext)
         x_ext = _stack_layer(
             x_ext, lengths, wd, bd, w1, b1, gamma, beta, seed,
             dilation=d, halo_max=halo, tile=tile, n_tiles=n_tiles,
             use_ln=use_ln, eps=eps, rate=rate, interpret=interpret,
+            save_a=with_saves,
         )
-    return x_ext[:, halo : halo + T]  # the ONE slice
+        if with_saves:
+            x_ext, a_ext = x_ext
+            a_exts.append(a_ext)
+    y = x_ext[:, halo : halo + T]  # the ONE slice
+    if with_saves:
+        return y, tuple(streams), tuple(a_exts)
+    return y
 
 
 def _stack_fwd(x, mask, layers, seeds, dilations, use_ln, eps, rates, tile, interpret):
-    y = _stack_forward(x, mask, layers, seeds, dilations, use_ln, eps, rates, tile, interpret)
-    return y, (x, mask, layers, seeds)
+    # training path: keep the inter-layer streams (already materialized by
+    # the forward) and the relu activations as residuals — the backward then
+    # runs no forward recompute at all (12 instead of 19 MXU matmuls per
+    # layer per train step measured at flagship scale)
+    y, streams, a_exts = _stack_forward(
+        x, mask, layers, seeds, dilations, use_ln, eps, rates, tile, interpret,
+        with_saves=True,
+    )
+    return y, (x, mask, layers, seeds, streams, a_exts)
 
 
 # --- fused stack backward -------------------------------------------------
@@ -423,35 +458,20 @@ def _stack_fwd(x, mask, layers, seeds, dilations, use_ln, eps, rates, tile, inte
 # constant-index output blocks (zeroed at the first cell).
 
 
-def _stack_bwd_dc_kernel(seed_ref, len_ref, x_ref, g_ref, wd_ref, bd_ref,
+def _stack_bwd_dc_kernel(seed_ref, len_ref, a_ref, x_ref, g_ref,
                          w1_ref, b1_ref, gamma_ref, *out_refs,
-                         dilation: int, halo: int, tile: int, use_ln: bool,
+                         tile: int, use_ln: bool,
                          eps: float, rate: float, n_tiles: int):
     if use_ln:
         dc_ref, dz_ref, dw1_ref, db1_ref, dbd_ref, dgamma_ref, dbeta_ref = out_refs
     else:
         dc_ref, dw1_ref, db1_ref, dbd_ref = out_refs
-    d, hp = dilation, halo
     b = pl.program_id(0)
     t = pl.program_id(1)
     row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
     valid = ((t * tile + row) < len_ref[b]).astype(jnp.float32)
 
-    # recompute the forward pieces bit-exactly (same op order as _stack_kernel)
-    left = x_ref[0, hp - d : hp - d + tile, :]
-    mid = x_ref[0, hp : hp + tile, :]
-    right = x_ref[0, hp + d : hp + d + tile, :]
-    pos = t * tile + row
-    left = jnp.where(pos < d, 0.0, left.astype(jnp.float32)).astype(mid.dtype)
-    right = jnp.where(pos >= n_tiles * tile - d, 0.0,
-                      right.astype(jnp.float32)).astype(mid.dtype)
-    acc = jnp.dot(left, wd_ref[0], preferred_element_type=jnp.float32)
-    acc += jnp.dot(mid, wd_ref[1], preferred_element_type=jnp.float32)
-    acc += jnp.dot(right, wd_ref[2], preferred_element_type=jnp.float32)
-    acc += bd_ref[:].astype(jnp.float32)
-    a = jax.nn.relu(acc)
-    a_c = a.astype(mid.dtype)
-
+    a_c = a_ref[0]  # relu activations saved by the forward (stream dtype)
     g = g_ref[0].astype(jnp.float32) * valid
     if rate > 0.0:
         _seed_cell(seed_ref, n_tiles)
@@ -460,6 +480,7 @@ def _stack_bwd_dc_kernel(seed_ref, len_ref, x_ref, g_ref, wd_ref, bd_ref,
         keep = None
 
     if use_ln:
+        mid = x_ref[0]
         h = jnp.dot(a_c, w1_ref[:], preferred_element_type=jnp.float32)
         h = h + b1_ref[:].astype(jnp.float32)
         if keep is not None:
@@ -479,11 +500,12 @@ def _stack_bwd_dc_kernel(seed_ref, len_ref, x_ref, g_ref, wd_ref, bd_ref,
         dz = g
 
     dh = dz * keep if keep is not None else dz
-    dh_c = dh.astype(mid.dtype)
+    dh_c = dh.astype(a_c.dtype)
     # da = dh @ w1^T (contract the output channel of both)
     da = jax.lax.dot_general(dh_c, w1_ref[:], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dc = da * (acc > 0)
+    # a > 0 <=> pre-relu > 0; compare in f32 (Mosaic rejects bf16 cmpf)
+    dc = da * (a_c.astype(jnp.float32) > 0)
     dc_ref[0, :, :] = dc.astype(dc_ref.dtype)
 
     dw1_part = jax.lax.dot_general(a_c, dh_c, (((0,), (0,)), ((), ())),
@@ -555,7 +577,7 @@ def _stack_bwd_dx_kernel(len_ref, x_ref, dc_ref, gsrc_ref, wd_ref,
     dwd_ref[2, :, :] += dwd2
 
 
-def _stack_bwd_layer(x_ext, g_ext, lengths, wd, bd, w1, b1, gamma, seed, *,
+def _stack_bwd_layer(x_ext, a_ext, g_ext, lengths, wd, w1, b1, gamma, seed, *,
                      dilation: int, halo_max: int, tile: int, n_tiles: int,
                      use_ln: bool, eps: float, rate: float, interpret: bool):
     """One layer's backward on the extended layout.  Returns
@@ -576,7 +598,7 @@ def _stack_bwd_layer(x_ext, g_ext, lengths, wd, bd, w1, b1, gamma, seed, *,
     ext = lambda dt: jax.ShapeDtypeStruct((B, T_ext, C), dt)  # noqa: E731
 
     kernel_a = functools.partial(
-        _stack_bwd_dc_kernel, dilation=dilation, halo=halo_d, tile=tile,
+        _stack_bwd_dc_kernel, tile=tile,
         use_ln=use_ln, eps=eps, rate=rate, n_tiles=n_tiles,
     )
     vec = jax.ShapeDtypeStruct((1, C), jnp.float32)
@@ -592,13 +614,13 @@ def _stack_bwd_layer(x_ext, g_ext, lengths, wd, bd, w1, b1, gamma, seed, *,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            win_spec, center_in,
-            wspec(3, C, C), wspec(C), wspec(C, C), wspec(C), wspec(C),
+            center_in, center_in, center_in,
+            wspec(C, C), wspec(C), wspec(C),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(seed, lengths, x_ext, g_ext, wd, bd, w1, b1, gamma)
+    )(seed, lengths, a_ext, x_ext, g_ext, w1, b1, gamma)
     if use_ln:
         dc_ext, dz_ext, dw1, db1, dbd, dgamma, dbeta = outs
         gsrc = dz_ext
@@ -626,32 +648,17 @@ def _stack_bwd_layer(x_ext, g_ext, lengths, wd, bd, w1, b1, gamma, seed, *,
 
 
 def _stack_bwd(dilations, use_ln, eps, rates, tile, interpret, res, g):
-    x, mask, layers, seeds = res
+    x, mask, layers, seeds, streams, a_exts = res
     B, T, C = x.shape
-    _, tile, n_tiles = _tiling(T, tile, 1)
-    T_pad = n_tiles * tile
-    halo_req = -(-max(dilations) // 8) * 8
-    halo = -(-halo_req // tile) * tile
-
-    # rematerialize the per-layer input streams with the cheap fused forward
-    xm = x * mask[:, :, None].astype(x.dtype)
-    x_ext = jnp.pad(xm, ((0, 0), (halo, halo + (T_pad - T)), (0, 0)))
+    tile, n_tiles, T_pad, halo = _stack_layout(T, dilations, tile)
     lengths = mask.astype(jnp.int32).sum(axis=1)
-    streams = []
-    for (wd, bd, w1, b1, gamma, beta), d, rate, seed in zip(layers, dilations, rates, seeds):
-        streams.append(x_ext)
-        x_ext = _stack_layer(
-            x_ext, lengths, wd, bd, w1, b1, gamma, beta, seed,
-            dilation=d, halo_max=halo, tile=tile, n_tiles=n_tiles,
-            use_ln=use_ln, eps=eps, rate=rate, interpret=interpret,
-        )
 
     g_ext = jnp.pad(g.astype(x.dtype), ((0, 0), (halo, halo + (T_pad - T)), (0, 0)))
     dlayers = [None] * len(layers)
     for i in reversed(range(len(layers))):
         wd, bd, w1, b1, gamma, beta = layers[i]
         g_ext, dwd, dbd, dw1, db1, dgamma, dbeta = _stack_bwd_layer(
-            streams[i], g_ext, lengths, wd, bd, w1, b1, gamma, seeds[i],
+            streams[i], a_exts[i], g_ext, lengths, wd, w1, b1, gamma, seeds[i],
             dilation=dilations[i], halo_max=halo, tile=tile, n_tiles=n_tiles,
             use_ln=use_ln, eps=eps, rate=rates[i], interpret=interpret,
         )
@@ -866,17 +873,218 @@ def _stack2_fwd(x, mask, layers, seeds, dil_pairs, rates, tile, interpret):
     return y, (x, mask, layers, seeds)
 
 
+# --- fused MS-TCN++ stack backward (same scheme as the MSTCN one above) ---
+
+
+def _stack2_bwd_dc_kernel(seed_ref, len_ref, x_ref, g_ref, k1_ref, b1_ref,
+                          k2_ref, b2_ref, wt_ref, wb_ref, bf_ref,
+                          dc1_ref, dc2_ref, dwt_ref, dwb_ref, dbf_ref,
+                          db1_ref, db2_ref, *, d1: int, d2: int, halo: int,
+                          tile: int, rate: float, n_tiles: int):
+    hp = halo
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    mid = x_ref[0, hp : hp + tile, :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    pos = t * tile + row
+    valid = (pos < len_ref[b]).astype(jnp.float32)
+
+    def conv3(k_ref, b_ref, d):
+        left = x_ref[0, hp - d : hp - d + tile, :]
+        right = x_ref[0, hp + d : hp + d + tile, :]
+        left = jnp.where(pos < d, 0.0, left.astype(jnp.float32)).astype(mid.dtype)
+        right = jnp.where(pos >= n_tiles * tile - d, 0.0,
+                          right.astype(jnp.float32)).astype(mid.dtype)
+        acc = jnp.dot(left, k_ref[0], preferred_element_type=jnp.float32)
+        acc += jnp.dot(mid, k_ref[1], preferred_element_type=jnp.float32)
+        acc += jnp.dot(right, k_ref[2], preferred_element_type=jnp.float32)
+        return acc + b_ref[:].astype(jnp.float32)
+
+    c1 = conv3(k1_ref, b1_ref, d1)
+    c2 = conv3(k2_ref, b2_ref, d2)
+    c1_c = c1.astype(mid.dtype)
+    c2_c = c2.astype(mid.dtype)
+    s = jnp.dot(c1_c, wt_ref[:], preferred_element_type=jnp.float32)
+    s += jnp.dot(c2_c, wb_ref[:], preferred_element_type=jnp.float32)
+    s += bf_ref[:].astype(jnp.float32)
+
+    g = g_ref[0].astype(jnp.float32) * valid
+    if rate > 0.0:
+        _seed_cell(seed_ref, n_tiles)
+        g = g * _keep_mask(rate, g.shape)  # dropout bwd (mask regen)
+    ds = g * (s > 0)
+    ds_c = ds.astype(mid.dtype)
+
+    dims = (((1,), (1,)), ((), ()))
+    dc1 = jax.lax.dot_general(ds_c, wt_ref[:], dims, preferred_element_type=jnp.float32)
+    dc2 = jax.lax.dot_general(ds_c, wb_ref[:], dims, preferred_element_type=jnp.float32)
+    dc1_ref[0, :, :] = dc1.astype(dc1_ref.dtype)
+    dc2_ref[0, :, :] = dc2.astype(dc2_ref.dtype)
+
+    rdims = (((0,), (0,)), ((), ()))
+    dwt_part = jax.lax.dot_general(c1_c, ds_c, rdims, preferred_element_type=jnp.float32)
+    dwb_part = jax.lax.dot_general(c2_c, ds_c, rdims, preferred_element_type=jnp.float32)
+
+    @pl.when((b == 0) & (t == 0))
+    def _init():
+        dwt_ref[:, :] = jnp.zeros_like(dwt_ref)
+        dwb_ref[:, :] = jnp.zeros_like(dwb_ref)
+        dbf_ref[:, :] = jnp.zeros_like(dbf_ref)
+        db1_ref[:, :] = jnp.zeros_like(db1_ref)
+        db2_ref[:, :] = jnp.zeros_like(db2_ref)
+
+    dwt_ref[:, :] += dwt_part
+    dwb_ref[:, :] += dwb_part
+    dbf_ref[:, :] += ds.sum(axis=0)[None, :]
+    db1_ref[:, :] += dc1.sum(axis=0)[None, :]
+    db2_ref[:, :] += dc2.sum(axis=0)[None, :]
+
+
+def _stack2_bwd_dx_kernel(len_ref, x_ref, dc1_ref, dc2_ref, g_ref, k1_ref,
+                          k2_ref, dx_ref, dk1_ref, dk2_ref, *, d1: int,
+                          d2: int, halo: int, tile: int, n_tiles: int):
+    hp = halo
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    pos = t * tile + row
+    valid = (pos < len_ref[b]).astype(jnp.float32)
+
+    def window(ref, d):
+        left = ref[0, hp - d : hp - d + tile, :]
+        mid = ref[0, hp : hp + tile, :]
+        right = ref[0, hp + d : hp + d + tile, :]
+        left = jnp.where(pos < d, 0.0, left.astype(jnp.float32)).astype(mid.dtype)
+        right = jnp.where(pos >= n_tiles * tile - d, 0.0,
+                          right.astype(jnp.float32)).astype(mid.dtype)
+        return left, mid, right
+
+    dims = (((1,), (1,)), ((), ()))
+    rdims = (((0,), (0,)), ((), ()))
+
+    dx = g_ref[0].astype(jnp.float32)  # residual path (masked at write)
+    for dc_ref, k_ref, dk_ref, d in ((dc1_ref, k1_ref, dk1_ref, d1),
+                                     (dc2_ref, k2_ref, dk2_ref, d2)):
+        dc_left, dc_mid, dc_right = window(dc_ref, d)
+        x_left, x_mid, x_right = window(x_ref, d)
+        dx += jax.lax.dot_general(dc_right, k_ref[0], dims, preferred_element_type=jnp.float32)
+        dx += jax.lax.dot_general(dc_mid, k_ref[1], dims, preferred_element_type=jnp.float32)
+        dx += jax.lax.dot_general(dc_left, k_ref[2], dims, preferred_element_type=jnp.float32)
+        dk0 = jax.lax.dot_general(x_left, dc_mid, rdims, preferred_element_type=jnp.float32)
+        dk1_ = jax.lax.dot_general(x_mid, dc_mid, rdims, preferred_element_type=jnp.float32)
+        dk2_ = jax.lax.dot_general(x_right, dc_mid, rdims, preferred_element_type=jnp.float32)
+
+        @pl.when((b == 0) & (t == 0))
+        def _init(dk_ref=dk_ref):
+            dk_ref[:, :, :] = jnp.zeros_like(dk_ref)
+
+        dk_ref[0, :, :] += dk0
+        dk_ref[1, :, :] += dk1_
+        dk_ref[2, :, :] += dk2_
+
+    dx = dx * valid
+    dx_ref[0, :, :] = dx.astype(dx_ref.dtype)
+
+
+def _stack2_bwd_layer(x_ext, g_ext, lengths, params, seed, *, d1: int, d2: int,
+                      halo_max: int, tile: int, n_tiles: int, rate: float,
+                      interpret: bool):
+    k1, b1, k2, b2, wt, wb, bf = params
+    B, T_ext, C = x_ext.shape
+    halo_d = -(-max(d1, d2) // 8) * 8
+    off = halo_max - halo_d
+    win_spec = pl.BlockSpec(
+        (pl.Element(1), pl.Element(tile + 2 * halo_d), pl.Element(C)),
+        lambda b, t: (b, (t * (tile // 8) + off // 8) * 8, 0),
+    )
+    center_in = pl.BlockSpec(
+        (pl.Element(1), pl.Element(tile), pl.Element(C)),
+        lambda b, t: (b, (t * (tile // 8) + halo_max // 8) * 8, 0),
+    )
+    center_out = pl.BlockSpec((1, tile, C), lambda b, t: (b, t + halo_max // tile, 0))
+    wspec = lambda *shape: pl.BlockSpec(shape, lambda b, t: (0,) * len(shape))  # noqa: E731
+    ext = lambda: jax.ShapeDtypeStruct((B, T_ext, C), x_ext.dtype)  # noqa: E731
+    vec = jax.ShapeDtypeStruct((1, C), jnp.float32)
+    mat = jax.ShapeDtypeStruct((C, C), jnp.float32)
+
+    kernel_a = functools.partial(
+        _stack2_bwd_dc_kernel, d1=d1, d2=d2, halo=halo_d, tile=tile,
+        rate=rate, n_tiles=n_tiles,
+    )
+    dc1_ext, dc2_ext, dwt, dwb, dbf, db1, db2 = pl.pallas_call(
+        kernel_a,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            win_spec, center_in,
+            wspec(3, C, C), wspec(C), wspec(3, C, C), wspec(C),
+            wspec(C, C), wspec(C, C), wspec(C),
+        ],
+        out_specs=[center_out, center_out, wspec(C, C), wspec(C, C),
+                   wspec(1, C), wspec(1, C), wspec(1, C)],
+        out_shape=[ext(), ext(), mat, mat, vec, vec, vec],
+        interpret=interpret,
+    )(seed, lengths, x_ext, g_ext, k1, b1, k2, b2, wt, wb, bf)
+
+    kernel_b = functools.partial(
+        _stack2_bwd_dx_kernel, d1=d1, d2=d2, halo=halo_d, tile=tile,
+        n_tiles=n_tiles,
+    )
+    tap = jax.ShapeDtypeStruct((3, C, C), jnp.float32)
+    dx_ext, dk1, dk2 = pl.pallas_call(
+        kernel_b,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            win_spec, win_spec, win_spec, center_in,
+            wspec(3, C, C), wspec(3, C, C),
+        ],
+        out_specs=[center_out, wspec(3, C, C), wspec(3, C, C)],
+        out_shape=[ext(), tap, tap],
+        interpret=interpret,
+    )(lengths, x_ext, dc1_ext, dc2_ext, g_ext, k1, k2)
+    return dx_ext, dk1, db1, dk2, db2, dwt, dwb, dbf
+
+
 def _stack2_bwd(dil_pairs, rates, tile, interpret, res, g):
     x, mask, layers, seeds = res
+    B, T, C = x.shape
+    _, tile, n_tiles = _tiling(T, tile, 1)
+    T_pad = n_tiles * tile
+    halo_req = -(-max(max(p) for p in dil_pairs) // 8) * 8
+    halo = -(-halo_req // tile) * tile
 
-    def ref(x, layers):
-        return _stack2_reference(x, mask, layers, dil_pairs, rates, seeds, tile, interpret)
+    xm = x * mask[:, :, None].astype(x.dtype)
+    x_ext = jnp.pad(xm, ((0, 0), (halo, halo + (T_pad - T)), (0, 0)))
+    lengths = mask.astype(jnp.int32).sum(axis=1)
+    streams = []
+    for params, (d1, d2), rate, seed in zip(layers, dil_pairs, rates, seeds):
+        streams.append(x_ext)
+        x_ext = _stack2_layer(
+            x_ext, lengths, params, seed, d1=d1, d2=d2, halo_max=halo,
+            tile=tile, n_tiles=n_tiles, rate=rate, interpret=interpret,
+        )
 
-    _, vjp = jax.vjp(ref, x, layers)
-    dx, dlayers = vjp(g)
+    g_ext = jnp.pad(g.astype(x.dtype), ((0, 0), (halo, halo + (T_pad - T)), (0, 0)))
+    dlayers = [None] * len(layers)
+    for i in reversed(range(len(layers))):
+        k1, b1, k2, b2, wt, wb, bf = layers[i]
+        d1, d2 = dil_pairs[i]
+        g_ext, dk1, db1, dk2, db2, dwt, dwb, dbf = _stack2_bwd_layer(
+            streams[i], g_ext, lengths, layers[i], seeds[i], d1=d1, d2=d2,
+            halo_max=halo, tile=tile, n_tiles=n_tiles, rate=rates[i],
+            interpret=interpret,
+        )
+        dlayers[i] = (dk1.astype(k1.dtype), db1[0].astype(b1.dtype),
+                      dk2.astype(k2.dtype), db2[0].astype(b2.dtype),
+                      dwt.astype(wt.dtype), dwb.astype(wb.dtype),
+                      dbf[0].astype(bf.dtype))
+
+    dx = g_ext[:, halo : halo + T].astype(x.dtype)
     dmask = np.zeros(mask.shape, jax.dtypes.float0)
     dseeds = tuple(np.zeros(s.shape, jax.dtypes.float0) for s in seeds)
-    return dx, dmask, dlayers, dseeds
+    return dx, dmask, tuple(dlayers), dseeds
 
 
 _stack2_vjp.defvjp(_stack2_fwd, _stack2_bwd)

@@ -49,7 +49,7 @@ _NEG = -1e9
 
 
 def _mha_kernel(xlen_ref, seed_ref, x_ref, xpos_ref, q_ref, wk_ref, bk_ref,
-                wv_ref, bv_ref, out_ref, m_scr, l_scr, acc_scr, *,
+                wv_ref, bv_ref, out_ref, m_ref, l_ref, m_scr, l_scr, acc_scr, *,
                 num_heads: int, m8: int, rate: float, tile: int, n_t: int):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -104,6 +104,10 @@ def _mha_kernel(xlen_ref, seed_ref, x_ref, xpos_ref, q_ref, wk_ref, bk_ref,
         out_ref[0, :, :] = (
             acc_scr[...] / jnp.maximum(l_scr[:, 0], 1e-30)[:, None]
         ).astype(out_ref.dtype)
+        # online-softmax stats, saved for the fused backward: true
+        # probs are exp(logits - m) / l
+        m_ref[0, :, :] = m_scr[...]
+        l_ref[0, :, :] = l_scr[...]
 
 
 def _mask_kernel(seed_ref, o_ref, *, rate: float, n_t: int):
@@ -114,9 +118,11 @@ def _mask_kernel(seed_ref, o_ref, *, rate: float, n_t: int):
 
 
 def _pick_tile(tile: int, X: int, HM8: int, E: int) -> int:
-    """Cap the key tile so per-cell VMEM (x/xpos/k/v tiles, double-buffered,
-    + the (HM8, tile) logits/probs) stays ~<12MB."""
-    while tile > 128 and 2 * HM8 * tile * 4 + 6 * tile * E * 4 > 12 * 2**20:
+    """Cap the key tile so per-cell VMEM stays ~<12MB in the *backward*
+    kernel (x/xpos/k/v/dk/dv/dx/dxk tiles + four (HM8, tile) prob-class
+    buffers).  Forward and backward must agree on the tile: the in-kernel
+    dropout mask is a pure function of (seed, grid cell, (HM8, tile))."""
+    while tile > 128 and 4 * HM8 * tile * 4 + 10 * tile * E * 4 > 12 * 2**20:
         tile //= 2
     return min(tile, max(-(-X // 128) * 128, 128))
 
@@ -147,17 +153,22 @@ def _round8(n: int) -> int:
     return -(-n // 8) * 8
 
 
-def _arrange_queries(q, num_heads: int):
+def _arrange_rows(q, num_heads: int):
     """(B, M, E) -> (B, H*M8, hd): heads split to rows (M8 = M rounded up to
-    the sublane width; pad rows are zero), attention scale folded in."""
+    the sublane width; pad rows are zero)."""
     B, M, E = q.shape
     H = num_heads
     hd = E // H
     M8 = _round8(M)
-    q = q * (1.0 / math.sqrt(hd))
     if M8 != M:
         q = jnp.pad(q, ((0, 0), (0, M8 - M), (0, 0)))
     return q.reshape(B, M8, H, hd).transpose(0, 2, 1, 3).reshape(B, H * M8, hd)
+
+
+def _arrange_queries(q, num_heads: int):
+    """Row arrangement with the attention scale folded in."""
+    hd = q.shape[2] // num_heads
+    return _arrange_rows(q * (1.0 / math.sqrt(hd)), num_heads)
 
 
 def _extract_heads(out_hm, num_heads: int, M: int):
@@ -170,7 +181,8 @@ def _extract_heads(out_hm, num_heads: int, M: int):
 
 
 def _mha_fwd_impl(q, x_in, x_pos_k, wk, bk, wv, bv, x_len, seed, *,
-                  num_heads: int, rate: float, tile: int, interpret: bool):
+                  num_heads: int, rate: float, tile: int, interpret: bool,
+                  with_stats: bool = False):
     B, X, Cx = x_in.shape
     M, E = q.shape[1], wk.shape[1]
     M8 = _round8(M)
@@ -200,8 +212,16 @@ def _mha_fwd_impl(q, x_in, x_pos_k, wk, bk, wv, bv, x_len, seed, *,
             pl.BlockSpec((Cx, E), lambda b, t: (0, 0)),
             pl.BlockSpec((E,), lambda b, t: (0,)),
         ],
-        out_specs=pl.BlockSpec((1, HM8, hd), lambda b, t: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, HM8, hd), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, HM8, hd), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, HM8, 1), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, HM8, 1), lambda b, t: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, HM8, hd), jnp.float32),
+            jax.ShapeDtypeStruct((B, HM8, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, HM8, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((HM8, 1), jnp.float32),
             pltpu.VMEM((HM8, 1), jnp.float32),
@@ -209,6 +229,9 @@ def _mha_fwd_impl(q, x_in, x_pos_k, wk, bk, wv, bv, x_len, seed, *,
         ],
         interpret=interpret,
     )(x_len, seed, x_in, x_pos_k, qh, wk, bk, wv, bv)
+    out, m_row, l_row = out
+    if with_stats:
+        return _extract_heads(out, num_heads, M), out, m_row, l_row
     return _extract_heads(out, num_heads, M)
 
 
@@ -244,31 +267,183 @@ def _mha_vjp(q, x_in, x_pos_k, wk, bk, wv, bv, xlen_seed, num_heads, rate, tile,
 
 
 def _mha_fwd(q, x_in, x_pos_k, wk, bk, wv, bv, xlen_seed, num_heads, rate, tile, interpret):
-    out = _mha_vjp(q, x_in, x_pos_k, wk, bk, wv, bv, xlen_seed, num_heads, rate, tile, interpret)
-    return out, (q, x_in, x_pos_k, wk, bk, wv, bv, xlen_seed)
+    x_len, seed = xlen_seed
+    out, out_hm, m_row, l_row = _mha_fwd_impl(
+        q, x_in, x_pos_k, wk, bk, wv, bv, x_len, seed,
+        num_heads=num_heads, rate=rate, tile=tile, interpret=interpret,
+        with_stats=True,
+    )
+    return out, (q, x_in, x_pos_k, wk, bk, wv, bv, xlen_seed, out_hm, m_row, l_row)
 
 
-def _mha_bwd(num_heads, rate, tile, interpret, res, g):
-    q, x_in, x_pos_k, wk, bk, wv, bv, (x_len, seed) = res
-    B, X, _ = x_in.shape
-    M = q.shape[1]
+def _mha_bwd_kernel(xlen_ref, seed_ref, x_ref, xpos_ref, q_ref, g_ref,
+                    m_ref, l_ref, d_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                    dx_ref, dxk_ref, dq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref,
+                    dq_scr, *, num_heads: int, m8: int, rate: float,
+                    tile: int, n_t: int):
+    """Single-pass flash backward over key tiles.
+
+    True probs are recovered from the saved online-softmax stats
+    (p = exp(logits - m) / l); the softmax-backward row term
+    D = sum_x p*dp comes in precomputed as rowsum(dout * out), which equals
+    sum_x p_dropped * dp_raw, so it is exact under in-kernel dropout too.
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    H, M8 = num_heads, m8
+    E = wk_ref.shape[1]
+    hd = E // H
+
+    @pl.when(t == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    # recompute k/v exactly like the forward
+    xk_in = x_ref[0].astype(jnp.float32) + xpos_ref[0].astype(jnp.float32)
+    xk_c = xk_in.astype(x_ref.dtype)
+    k = jnp.dot(xk_c, wk_ref[:], preferred_element_type=jnp.float32)
+    k = (k + bk_ref[:].astype(jnp.float32)).astype(q_ref.dtype)
+    v = jnp.dot(x_ref[0], wv_ref[:], preferred_element_type=jnp.float32)
+    v = (v + bv_ref[:].astype(jnp.float32)).astype(q_ref.dtype)
+
     if rate > 0.0:
-        M8 = _round8(M)
-        HM8 = num_heads * M8
-        kt = _pick_tile(tile, X, HM8, wk.shape[1])
-        keep = mha_dropout_mask(seed, shape=(B, HM8, X), rate=rate, tile=kt,
-                                interpret=interpret)
-        keep = keep.reshape(B, num_heads, M8, X)[:, :, :M]
+        pltpu.prng_seed(seed_ref[0] + b * n_t + t)
+        keep = _keep_mask(rate, (H * M8, tile))
     else:
         keep = None
 
-    def ref(q, x_in, x_pos_k, wk, bk, wv, bv):
-        return _mha_reference(q, x_in, x_pos_k, wk, bk, wv, bv, x_len, keep, num_heads)
+    col = jax.lax.broadcasted_iota(jnp.int32, (M8, tile), 1) + t * tile
+    colmask = col < xlen_ref[b]
+    l_inv = 1.0 / jnp.maximum(l_ref[0, :, 0], 1e-30)
 
-    _, vjp = jax.vjp(ref, q, x_in, x_pos_k, wk, bk, wv, bv)
-    dq, dx, dpos, dwk, dbk, dwv, dbv = vjp(g)
+    dks, dvs, dqs = [], [], []
+    for h in range(H):
+        sl = slice(h * M8, (h + 1) * M8)
+        qh = q_ref[0, sl, :]
+        gh = g_ref[0, sl, :].astype(v.dtype)  # g arrives f32; dots in stream dtype
+        logits = jax.lax.dot_general(qh, k[:, h * hd:(h + 1) * hd],
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        logits = jnp.where(colmask, logits, _NEG)
+        p = jnp.exp(logits - m_ref[0, sl, :]) * l_inv[sl][:, None]
+        dpt = jax.lax.dot_general(gh, v[:, h * hd:(h + 1) * hd],
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if keep is not None:
+            dp = dpt * keep[sl]
+            p_used = p * keep[sl]
+        else:
+            dp = dpt
+            p_used = p
+        dl = p * (dp - d_ref[0, sl, :])  # (M8, tile)
+        dl_c = dl.astype(k.dtype)
+        dqs.append(jnp.dot(dl_c, k[:, h * hd:(h + 1) * hd],
+                           preferred_element_type=jnp.float32))
+        dks.append(jax.lax.dot_general(dl_c, qh, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32))
+        dvs.append(jax.lax.dot_general(p_used.astype(gh.dtype), gh,
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32))
+
+    dq_scr[...] += jnp.concatenate(dqs, axis=0)
+    dk_f = jnp.concatenate(dks, axis=1)  # (tile, E) f32
+    dv_f = jnp.concatenate(dvs, axis=1)
+    dk = dk_f.astype(x_ref.dtype)
+    dv = dv_f.astype(x_ref.dtype)
+
+    dims = (((1,), (1,)), ((), ()))
+    dxk = jax.lax.dot_general(dk, wk_ref[:], dims, preferred_element_type=jnp.float32)
+    dxv = jax.lax.dot_general(dv, wv_ref[:], dims, preferred_element_type=jnp.float32)
+    dxk_ref[0, :, :] = dxk.astype(dxk_ref.dtype)
+    dx_ref[0, :, :] = (dxk + dxv).astype(dx_ref.dtype)
+
+    rdims = (((0,), (0,)), ((), ()))
+    dwk_part = jax.lax.dot_general(xk_c, dk, rdims, preferred_element_type=jnp.float32)
+    dwv_part = jax.lax.dot_general(x_ref[0], dv, rdims, preferred_element_type=jnp.float32)
+
+    @pl.when((b == 0) & (t == 0))
+    def _zero():
+        dwk_ref[:, :] = jnp.zeros_like(dwk_ref)
+        dbk_ref[:, :] = jnp.zeros_like(dbk_ref)
+        dwv_ref[:, :] = jnp.zeros_like(dwv_ref)
+        dbv_ref[:, :] = jnp.zeros_like(dbv_ref)
+
+    dwk_ref[:, :] += dwk_part
+    dbk_ref[:, :] += dk_f.sum(axis=0)[None, :]
+    dwv_ref[:, :] += dwv_part
+    dbv_ref[:, :] += dv_f.sum(axis=0)[None, :]
+
+    @pl.when(t == n_t - 1)
+    def _finish():
+        dq_ref[0, :, :] = dq_scr[...]
+
+
+def _mha_bwd(num_heads, rate, tile, interpret, res, g):
+    q, x_in, x_pos_k, wk, bk, wv, bv, (x_len, seed), out_hm, m_row, l_row = res
+    B, X, Cx = x_in.shape
+    M, E = q.shape[1], wk.shape[1]
+    M8 = _round8(M)
+    HM8 = num_heads * M8
+    hd = E // num_heads
+    ktile = _pick_tile(tile, X, HM8, E)  # same cell layout as the forward
+    n_t = pl.cdiv(X, ktile)
+    X_pad = n_t * ktile
+    x_p, pos_p = x_in, x_pos_k
+    if X_pad != X:
+        x_p = jnp.pad(x_in, ((0, 0), (0, X_pad - X), (0, 0)))
+        pos_p = jnp.pad(x_pos_k, ((0, 0), (0, X_pad - X), (0, 0)))
+    pos_b = 0 if x_pos_k.shape[0] == 1 else None
+    qh = _arrange_queries(q, num_heads)
+    gh = _arrange_rows(g.astype(jnp.float32), num_heads)
+    d_row = (gh * out_hm).sum(axis=-1, keepdims=True)  # = sum_x p~ dp~
+
+    kernel = functools.partial(_mha_bwd_kernel, num_heads=num_heads, m8=M8,
+                               rate=rate, tile=ktile, n_t=n_t)
+    row = lambda: pl.BlockSpec((1, HM8, 1), lambda b, t: (b, 0, 0))  # noqa: E731
+    wspec = lambda *s: pl.BlockSpec(s, lambda b, t: (0,) * len(s))  # noqa: E731
+    dx_p, dxk_p, dqh, dwk, dbk, dwv, dbv = pl.pallas_call(
+        kernel,
+        grid=(B, n_t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ktile, Cx), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, ktile, Cx), lambda b, t, pb=pos_b: (pb if pb is not None else b, t, 0)),
+            pl.BlockSpec((1, HM8, hd), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, HM8, hd), lambda b, t: (b, 0, 0)),
+            row(), row(), row(),
+            wspec(Cx, E), wspec(E), wspec(Cx, E), wspec(E),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ktile, Cx), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, ktile, Cx), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, HM8, hd), lambda b, t: (b, 0, 0)),
+            wspec(Cx, E), wspec(1, E), wspec(Cx, E), wspec(1, E),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, X_pad, Cx), x_in.dtype),
+            jax.ShapeDtypeStruct((B, X_pad, Cx), x_in.dtype),
+            jax.ShapeDtypeStruct((B, HM8, hd), jnp.float32),
+            jax.ShapeDtypeStruct((Cx, E), jnp.float32),
+            jax.ShapeDtypeStruct((1, E), jnp.float32),
+            jax.ShapeDtypeStruct((Cx, E), jnp.float32),
+            jax.ShapeDtypeStruct((1, E), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((HM8, hd), jnp.float32)],
+        interpret=interpret,
+    )(x_len, seed, x_p, pos_p, qh, gh, m_row, l_row, d_row, wk, bk, wv, bv)
+
+    scale = 1.0 / math.sqrt(hd)
+    dq = (_extract_heads(dqh, num_heads, M) * scale).astype(q.dtype)
+    dx = dx_p[:, :X].astype(x_in.dtype)
+    dxk = dxk_p[:, :X]
+    if x_pos_k.shape[0] == 1:
+        dpos = dxk.sum(axis=0, keepdims=True).astype(x_pos_k.dtype)
+    else:
+        dpos = dxk.astype(x_pos_k.dtype)
     daux = (np.zeros(x_len.shape, jax.dtypes.float0), np.zeros(seed.shape, jax.dtypes.float0))
-    return dq, dx, dpos, dwk, dbk, dwv, dbv, daux
+    return (dq, dx, dpos, dwk.astype(wk.dtype), dbk[0].astype(bk.dtype),
+            dwv.astype(wv.dtype), dbv[0].astype(bv.dtype), daux)
 
 
 _mha_vjp.defvjp(_mha_fwd, _mha_bwd)

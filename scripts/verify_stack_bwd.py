@@ -22,7 +22,8 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 from fact_clip_tpu.ops.pallas.dilated_conv import (  # noqa: E402
-    _stack_reference, dilated_residual_stack,
+    _stack2_reference, _stack_reference, dilated_residual2_stack,
+    dilated_residual_stack,
 )
 
 ok = True
@@ -151,6 +152,36 @@ def main():
             x, ms, l, (ds, ds), True, 1e-5, (0.0, 0.0), zs, 512, False)).sum(),
             argnums=(0, 1)))(xs, lay_s)
     grads_close(gf, gr, 2e-4, "dilation>tile grads")
+
+    # 5. MS-TCN++ stack backward (dual dilation), f32 + dropout
+    def rand2(k):
+        ks = jax.random.split(k, 7)
+        return (jax.random.normal(ks[0], (3, C, C)) * 0.08,
+                jax.random.normal(ks[1], (C,)) * 0.05,
+                jax.random.normal(ks[2], (3, C, C)) * 0.08,
+                jax.random.normal(ks[3], (C,)) * 0.05,
+                jax.random.normal(ks[4], (C, C)) * 0.08,
+                jax.random.normal(ks[5], (C, C)) * 0.08,
+                jax.random.normal(ks[6], (C,)) * 0.05)
+
+    pairs = ((16, 1), (1, 16))
+    lay2 = tuple(rand2(k) for k in jax.random.split(jax.random.PRNGKey(6), 2))
+    seeds2 = tuple(jnp.array([11 * i + 5], jnp.int32) for i in range(2))
+    rates2 = (0.3, 0.0)
+
+    def loss2_f(x, layers):
+        y = dilated_residual2_stack(x, mask, layers, pairs, rates=rates2,
+                                    seeds=seeds2)
+        return (lw * y).sum()
+
+    def loss2_r(x, layers):
+        y = _stack2_reference(x, mask, layers, pairs, rates2, seeds2, 512, False)
+        return (lw * y).sum()
+
+    with f32prec:
+        gf = jax.jit(jax.grad(loss2_f, argnums=(0, 1)))(x, lay2)
+        gr = jax.jit(jax.grad(loss2_r, argnums=(0, 1)))(x, lay2)
+    grads_close(gf, gr, 2e-4, "mstcn2 dropout grads")
 
     sys.exit(0 if ok else 1)
 
