@@ -114,6 +114,10 @@ def measure_ours_train():
     cfg.TPU.pallas = True
     cfg.Bi.dropout = 0.2  # havid recipe
     cfg.TPU.matcher = "auction"
+    # production TPU recipe: bf16 streams/matmuls with f32 accumulation and
+    # f32 logits/losses (numerics pinned by tests/test_mixed_precision.py);
+    # the fused Pallas backwards keep the whole step on the MXU
+    cfg.TPU.compute_dtype = "bfloat16"
     model = build_fact(cfg, D, C, s_pred_cap=128)
 
     rng = np.random.default_rng(0)
@@ -134,7 +138,7 @@ def measure_ours_train():
     def chained(state, batch, n):
         def body(carry, i):
             state = carry
-            state, out = step_fn(state, batch, jax.random.fold_in(jax.random.PRNGKey(7), i))
+            state, out = step_fn(state, batch, jax.random.fold_in(jax.random.key(7, impl="rbg"), i))
             return state, out["loss"]
         state, losses_ = jax.lax.scan(body, state, jnp.arange(n))
         return state, losses_.sum()
@@ -418,6 +422,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(vs, 2),
         "train_frames_per_sec_per_chip": round(train_fps, 1),
+        "train_dtype": "bfloat16",
     }
     if ref_train_fps:
         result["train_vs_baseline"] = round(train_fps / ref_train_fps, 2)

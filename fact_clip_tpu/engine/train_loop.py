@@ -203,7 +203,12 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
 
     logger = Logger(cfg, cfg2flatdict(cfg))
 
-    base_rng = jax.random.PRNGKey(cfg.aux.seed)
+    # rbg PRNG: the training step draws large dropout masks (e.g. the
+    # u-blocks' (B, T, 2*hid) X2Y concats); threefry mask generation costs
+    # ~0.5-1 ms/step at flagship scale where the TPU-native rbg generator is
+    # ~free.  Mask quality is irrelevant beyond uniformity; eval paths draw
+    # no rngs.  (The Pallas kernels use the on-core PRNG independently.)
+    base_rng = jax.random.key(cfg.aux.seed, impl="rbg")
 
     def fresh_train_ckpt():
         return Checkpoint(

@@ -134,7 +134,18 @@ def run_match(cost, transcript, seg_mask, mode: str, matcher: str = "auto", ncla
         from ..ops import assignment
 
         if mode == "o2o":
-            return jax.vmap(assignment.auction_assign)(cost, seg_mask)
+            st = jax.vmap(
+                lambda c, m: assignment.auction_assign(c, m, safety_net=False)
+            )(cost, seg_mask)
+            # the sequential S-step fallback only compiles into the taken
+            # branch: the auction converges in a couple of iterations in
+            # practice, so the common case pays nothing
+            return jax.lax.cond(
+                ((st < 0) & seg_mask).any(),
+                lambda st: jax.vmap(assignment.fallback_place)(cost, seg_mask, st),
+                lambda st: jnp.maximum(st, 0),
+                st,
+            )
         if mode == "o2m":
             assert nclasses is not None, "o2m on device needs the class count"
             return jax.vmap(lambda c, t, m: assignment.o2m_assign(c, t, m, nclasses))(

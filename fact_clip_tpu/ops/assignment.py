@@ -72,11 +72,13 @@ def _auction_phase(value, col_valid, price, eps, max_iters):
 
 
 def auction_assign(cost, col_valid, eps_rel: float = 1e-3, max_iters: int = 50000,
-                   with_stats: bool = False):
+                   with_stats: bool = False, safety_net: bool = True):
     """Minimize assignment cost. cost: (M, S); col_valid: (S,) bool.
 
     Returns seg_tok (S,) int32 — a distinct token per valid segment
-    (0 for invalid segments).  Requires M >= number of valid segments.
+    (0 for invalid segments; with safety_net=False, segments the auction
+    left unassigned stay -1 and the caller runs ``fallback_place`` behind a
+    batch-level cond).  Requires M >= number of valid segments.
     ``with_stats=True`` additionally returns a dict of convergence telemetry
     (auction iterations, segments left to the sequential safety net, the
     eps-suboptimality bound).
@@ -95,8 +97,27 @@ def auction_assign(cost, col_valid, eps_rel: float = 1e-3, max_iters: int = 5000
     seg_tok, price, iters = _auction_phase(value, col_valid, price, eps, max_iters)
     fallback_segs = ((seg_tok < 0) & col_valid).sum()
 
-    # safety net: sequentially place any still-unassigned segments on their
-    # best unassigned token (max_iters exhaustion is pathological)
+    if safety_net:
+        seg_tok = fallback_place(cost, col_valid, seg_tok)
+    if with_stats:
+        stats = {
+            "iterations": iters,
+            "fallback_segments": fallback_segs,
+            "eps_bound": eps * col_valid.sum(),
+        }
+        return seg_tok, stats
+    return seg_tok
+
+
+def fallback_place(cost, col_valid, seg_tok):
+    """Sequentially place still-unassigned (-1) segments on their best
+    untaken token (auction max_iters exhaustion is pathological).  S
+    sequential tiny steps — batched callers should gate this behind a
+    batch-level ``lax.cond`` on ``((seg_tok < 0) & col_valid).any()`` so the
+    common converged case pays nothing (under vmap a cond would become a
+    select and run anyway)."""
+    M, S = cost.shape
+    value = -cost
     taken = jnp.zeros((M,), bool).at[jnp.where(seg_tok >= 0, seg_tok, M)].set(True, mode="drop")
 
     def place(i, carry):
@@ -110,15 +131,7 @@ def auction_assign(cost, col_valid, eps_rel: float = 1e-3, max_iters: int = 5000
         return seg_tok, taken
 
     seg_tok, _ = jax.lax.fori_loop(0, S, place, (seg_tok, taken))
-    seg_tok = jnp.maximum(seg_tok, 0)
-    if with_stats:
-        stats = {
-            "iterations": iters,
-            "fallback_segments": fallback_segs,
-            "eps_bound": eps * col_valid.sum(),
-        }
-        return seg_tok, stats
-    return seg_tok
+    return jnp.maximum(seg_tok, 0)
 
 
 def o2m_assign(cost, transcript, col_valid, nclasses: int):

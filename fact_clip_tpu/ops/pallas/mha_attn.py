@@ -117,12 +117,17 @@ def _mask_kernel(seed_ref, o_ref, *, rate: float, n_t: int):
     o_ref[0, :, :] = _keep_mask(rate, o_ref.shape[1:])
 
 
-def _pick_tile(tile: int, X: int, HM8: int, E: int) -> int:
-    """Cap the key tile so per-cell VMEM stays ~<12MB in the *backward*
-    kernel (x/xpos/k/v/dk/dv/dx/dxk tiles + four (HM8, tile) prob-class
-    buffers).  Forward and backward must agree on the tile: the in-kernel
-    dropout mask is a pure function of (seed, grid cell, (HM8, tile))."""
-    while tile > 128 and 4 * HM8 * tile * 4 + 10 * tile * E * 4 > 12 * 2**20:
+def _pick_tile(tile: int, X: int, HM8: int, E: int, bwd: bool = False) -> int:
+    """Cap the key tile so per-cell VMEM stays ~<12MB.
+
+    bwd=True uses the backward kernel's footprint (x/xpos/k/v/dk/dv/dx/dxk
+    tiles + four (HM8, tile) prob-class buffers) instead of the forward's.
+    When in-kernel dropout is active the two passes MUST use the same tile
+    (the mask is a pure function of (seed, grid cell, (HM8, tile))), so the
+    forward is sized with bwd=True in that case; inference (rate=0) keeps
+    the larger forward-only tile."""
+    streams = (4 * HM8 + 10 * E) if bwd else (2 * HM8 + 6 * E)
+    while tile > 128 and streams * tile * 4 > 12 * 2**20:
         tile //= 2
     return min(tile, max(-(-X // 128) * 128, 128))
 
@@ -188,7 +193,7 @@ def _mha_fwd_impl(q, x_in, x_pos_k, wk, bk, wv, bv, x_len, seed, *,
     M8 = _round8(M)
     HM8 = num_heads * M8
     hd = E // num_heads
-    tile = _pick_tile(tile, X, HM8, E)
+    tile = _pick_tile(tile, X, HM8, E, bwd=rate > 0.0)
     n_t = pl.cdiv(X, tile)
     X_pad = n_t * tile
     if X_pad != X:
@@ -385,7 +390,7 @@ def _mha_bwd(num_heads, rate, tile, interpret, res, g):
     M8 = _round8(M)
     HM8 = num_heads * M8
     hd = E // num_heads
-    ktile = _pick_tile(tile, X, HM8, E)  # same cell layout as the forward
+    ktile = _pick_tile(tile, X, HM8, E, bwd=True)  # == fwd tile when rate>0
     n_t = pl.cdiv(X, ktile)
     X_pad = n_t * ktile
     x_p, pos_p = x_in, x_pos_k

@@ -60,7 +60,7 @@ def main():
     @functools.partial(jax.jit, static_argnames="n")
     def chained(state, batch, n):
         def body(carry, i):
-            st, out = step_fn(carry, batch, jax.random.fold_in(jax.random.PRNGKey(7), i))
+            st, out = step_fn(carry, batch, jax.random.fold_in(jax.random.key(7, impl="rbg"), i))
             return st, out["loss"]
         state, losses_ = jax.lax.scan(body, state, jnp.arange(n))
         return state, losses_.sum()

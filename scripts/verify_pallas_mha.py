@@ -66,7 +66,7 @@ def main():
         *a[:-1], num_heads=H, rate=rate, seed=a[-1]))
     out1 = fwd(q, x, pos, wk, bk, wv, bv, x_len, seed)
     M8 = _round8(M)
-    tile = _pick_tile(512, X, H * M8, E)
+    tile = _pick_tile(512, X, H * M8, E, bwd=True)  # the rate>0 fwd tile
     keep = mha_dropout_mask(seed, shape=(B, H * M8, X), rate=rate, tile=tile)
     keepr = keep.reshape(B, H, M8, X)[:, :, :M]
     ref1 = _mha_reference(q, x, pos, wk, bk, wv, bv, x_len, keepr, H)
