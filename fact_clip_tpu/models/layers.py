@@ -566,9 +566,23 @@ class X2YMap(nn.Module):
                 # keep stored logits finite at masked keys for log-softmax
                 logits = jnp.where(x_mask[:, None, :], logits, -1e9)
 
-        concat = jnp.concatenate([y_feat, attn_feat.astype(y_feat.dtype)], axis=-1)
-        concat = nn.Dropout(self.dropout)(concat, deterministic=deterministic)
-        y_out = TorchDense(self.y_outdim)(concat)
+        # out map as a split dense: dropout(concat([y, attn])) @ W ==
+        # dropout(y) @ W[:Cy] + dropout(attn) @ W[Cy:], and the (B, Y, Cy+d)
+        # concat (f32, ~100 MB at flagship u-block scale) never materializes.
+        # Not a logit head (process_feature owns those), so it may run in
+        # the compute dtype under mixed precision.
+        wo = self.param("out_kernel", torch_linear_kernel_init, (Cy + d, self.y_outdim))
+        bo = self.param("out_bias", torch_linear_bias_init(Cy + d), (self.y_outdim,))
+        y_d = nn.Dropout(self.dropout)(y_feat, deterministic=deterministic)
+        a_d = nn.Dropout(self.dropout)(attn_feat.astype(y_feat.dtype),
+                                       deterministic=deterministic)
+        y_out = (
+            jnp.dot(_cast(y_d, self.dtype), _cast(wo[:Cy], self.dtype),
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(_cast(a_d, self.dtype), _cast(wo[Cy:], self.dtype),
+                      preferred_element_type=jnp.float32)
+            + bo
+        )
         return y_out, probs, logits
 
 

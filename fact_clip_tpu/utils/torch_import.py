@@ -202,11 +202,12 @@ def _x2y(sd, prefix):
     wk, bk = kb(prefix + ".X_K")
     wv, bv = kb(prefix + ".X_V")
     wq, bq = kb(prefix + ".Y_Q")
+    wo, bo = kb(prefix + ".Y_W")
     return {
         "xk_kernel": wk, "xk_bias": bk,
         "xv_kernel": wv, "xv_bias": bv,
         "yq_kernel": wq, "yq_bias": bq,
-        "TorchDense_0": _dense(sd, prefix + ".Y_W"),
+        "out_kernel": wo, "out_bias": bo,
     }
 
 
