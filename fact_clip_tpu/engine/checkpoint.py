@@ -26,9 +26,34 @@ def save_params(params, fname: str) -> None:
         f.write(serialization.to_bytes(params))
 
 
+def _migrate_x2y_out_dense(tree):
+    """Pre-2026-08-17 checkpoints store the X2YMap out map as a nested
+    TorchDense_0 child; it is now a flat out_kernel/out_bias pair
+    (models/layers.py::X2YMap — the split dense that skips the concat).
+    X2YMap nodes are recognized by their xk_kernel sibling, so abranch
+    TorchDense_0 children are left untouched."""
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    for k, v in tree.items():
+        v = _migrate_x2y_out_dense(v)
+        if (k == "TorchDense_0" and isinstance(v, dict) and "Dense_0" in v
+                and "xk_kernel" in tree):
+            out["out_kernel"] = v["Dense_0"]["kernel"]
+            out["out_bias"] = v["Dense_0"]["bias"]
+        else:
+            out[k] = v
+    return out
+
+
 def load_params(template, fname: str):
     with open(fname, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        data = f.read()
+    try:
+        return serialization.from_bytes(template, data)
+    except (ValueError, KeyError):
+        raw = serialization.msgpack_restore(data)
+        return serialization.from_state_dict(template, _migrate_x2y_out_dense(raw))
 
 
 def save_params_orbax(params, dirname: str) -> None:

@@ -353,11 +353,15 @@ class UpdateBlockTDU(nn.Module):
         frame_feature, frame_clogit = process_feature(frame_feature, self.nclass)
 
         # upsample attention maps to frame granularity (blocks.py:480-483),
-        # same gather-as-matmul trick (probs stay f32)
+        # same gather-as-matmul trick.  HIGHEST precision: these are f32
+        # probabilities consumed by losses/decode, and the TPU default would
+        # truncate them to bf16 mantissas in the dot
         # a2f_attn_seg: (B, S, M) -> per-frame (B, T, M)
-        a2f_attn = jnp.einsum("bts,bsm->btm", P, a2f_attn_seg)
+        a2f_attn = jnp.einsum("bts,bsm->btm", P, a2f_attn_seg,
+                              precision=jax.lax.Precision.HIGHEST)
         # f2a_attn_seg: (B, M, S) -> (B, M, T)
-        f2a_attn = jnp.einsum("bms,bts->bmt", f2a_attn_seg, P)
+        f2a_attn = jnp.einsum("bms,bts->bmt", f2a_attn_seg, P,
+                              precision=jax.lax.Precision.HIGHEST)
 
         saves = {
             "frame_clogit": frame_clogit,

@@ -148,9 +148,23 @@ def run_match(cost, transcript, seg_mask, mode: str, matcher: str = "auto", ncla
             )
         if mode == "o2m":
             assert nclasses is not None, "o2m on device needs the class count"
-            return jax.vmap(lambda c, t, m: assignment.o2m_assign(c, t, m, nclasses))(
-                cost, transcript.astype(jnp.int32), seg_mask
+            t32 = transcript.astype(jnp.int32)
+            class_cost, class_present = jax.vmap(
+                lambda c, t, m: assignment.o2m_class_cost(c, t, m, nclasses)
+            )(cost, t32, seg_mask)
+            tfc = jax.vmap(
+                lambda c, m: assignment.auction_assign(c, m, safety_net=False)
+            )(class_cost, class_present)
+            tfc = jax.lax.cond(  # same rarely-taken fallback gating as o2o
+                ((tfc < 0) & class_present).any(),
+                lambda t: jax.vmap(assignment.fallback_place)(class_cost, class_present, t),
+                lambda t: jnp.maximum(t, 0),
+                tfc,
             )
+            return jax.vmap(
+                lambda c, t, m, tf, cp, cc: assignment.o2m_stage2(
+                    c, t, m, tf, cp, nclasses, class_cost=cc)
+            )(cost, t32, seg_mask, tfc, class_present, class_cost)
         raise ValueError(f"Unknown match mode {mode!r}")
 
     result_shape = jax.ShapeDtypeStruct((B, S), jnp.int32)

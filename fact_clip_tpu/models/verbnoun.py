@@ -207,15 +207,22 @@ class UpdateBlockTDUVN(nn.Module):
             x_mask=token_mask, deterministic=deterministic,
         )
 
-        s2f = jax.vmap(segments.unpool)(seg_out, tdu["seg_id"])
+        # seg->frame upsamples as assignment-matrix matmuls, exactly like
+        # UpdateBlockTDU (blocks.py): the gathers' backward is a
+        # latency-bound scatter-add on TPU; the one-hot P rows make the
+        # matmul equal to the gather on valid frames (zeros on padding)
+        P = tdu["P"]
+        s2f = jnp.einsum("bts,bsh->bth", P.astype(seg_out.dtype), seg_out)
         merged = jnp.concatenate([s2f, frame_feature], axis=-1)
         frame_feature = jax.nn.relu(L.TorchDense(c.f_dim, name="sf_merge")(merged))
 
         frame_feature = make_fbranch(c, None, "frame_branch")(frame_feature, frame_mask, deterministic)
         frame_feature, frame_clogit = process_feature_vn(frame_feature, self.n1, self.n2)
 
-        a2f_attn = jax.vmap(lambda a, s: a[s])(a2f_attn_seg, tdu["seg_id"])
-        f2a_attn = jax.vmap(lambda a, s: a[:, s])(f2a_attn_seg, tdu["seg_id"])
+        a2f_attn = jnp.einsum("bts,bsm->btm", P, a2f_attn_seg,
+                              precision=jax.lax.Precision.HIGHEST)
+        f2a_attn = jnp.einsum("bms,bts->bmt", f2a_attn_seg, P,
+                              precision=jax.lax.Precision.HIGHEST)
 
         saves = {
             "frame_vlogp": jax.nn.log_softmax(frame_clogit[..., : self.n1], axis=-1),

@@ -145,12 +145,26 @@ def o2m_assign(cost, transcript, col_valid, nclasses: int):
     cost: (M, S); transcript: (S,) int; col_valid: (S,) bool.
     Returns seg_tok (S,) int32.
     """
-    M, S = cost.shape
+    class_cost, class_present = o2m_class_cost(cost, transcript, col_valid, nclasses)
+    tok_for_class = auction_assign(class_cost, class_present)  # (C,) token per present class
+    return o2m_stage2(cost, transcript, col_valid, tok_for_class, class_present, nclasses,
+                      class_cost=class_cost)
+
+
+def o2m_class_cost(cost, transcript, col_valid, nclasses: int):
+    """Stage-1 inputs: per-class summed cost (M, C) and class presence (C,)."""
     onehot = jax.nn.one_hot(transcript, nclasses, dtype=cost.dtype) * col_valid[:, None]  # (S, C)
     class_present = onehot.sum(0) > 0  # (C,)
     class_cost = cost @ onehot  # (M, C)
+    return class_cost, class_present
 
-    tok_for_class = auction_assign(class_cost, class_present)  # (C,) token per present class
+
+def o2m_stage2(cost, transcript, col_valid, tok_for_class, class_present, nclasses: int,
+               class_cost=None):
+    """Resolve token->class then segment->token from the class auction."""
+    M, S = cost.shape
+    if class_cost is None:
+        class_cost = o2m_class_cost(cost, transcript, col_valid, nclasses)[0]
 
     # token -> class table: matched tokens take their auction class,
     # all other tokens take their cheapest present class

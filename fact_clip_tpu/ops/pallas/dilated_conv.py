@@ -155,13 +155,13 @@ def _reference_forward_pieces(x, wd, bd, w1, b1, dilation):
 def _fwd(x, wd, bd, w1, b1, gamma, beta, seed, dilation, use_ln, eps, rate, tile, interpret):
     y = _forward(x, wd, bd, w1, b1, gamma, beta, seed, dilation=dilation,
                  use_ln=use_ln, eps=eps, rate=rate, tile=tile, interpret=interpret)
-    return y, (x, wd, bd, w1, b1, gamma, seed)
+    return y, (x, wd, bd, w1, b1, gamma, beta, seed)
 
 
 def _bwd(dilation, use_ln, eps, rate, tile, interpret, res, g):
     import jax.lax as lax
 
-    x, wd, bd, w1, b1, gamma, seed = res
+    x, wd, bd, w1, b1, gamma, beta, seed = res
     a, z_pre = _reference_forward_pieces(x, wd, bd, w1, b1, dilation)
     if rate > 0.0:
         m = dropout_mask(seed, shape=x.shape, rate=rate, tile=tile, interpret=interpret)
@@ -213,7 +213,7 @@ def _bwd(dilation, use_ln, eps, rate, tile, interpret, res, g):
     # cotangents must carry the primals' dtypes (weights may be bf16 casts)
     return (dx.astype(x.dtype), dwd.astype(wd.dtype), dbd.astype(bd.dtype),
             dw1.astype(w1.dtype), db1.astype(b1.dtype),
-            dgamma.astype(gamma.dtype), dbeta.astype(gamma.dtype), dseed)
+            dgamma.astype(gamma.dtype), dbeta.astype(beta.dtype), dseed)
 
 
 _dr_vjp.defvjp(_fwd, _bwd)

@@ -23,10 +23,17 @@ those FLOPs by H.
 Attention dropout (torch semantics: softmax, then dropout on the
 probabilities) runs in-kernel from the on-core PRNG: the mask multiplies
 the attend accumulation only, while the softmax normalizer accumulates the
-undropped probabilities — exactly ``dropout(softmax(logits)) @ v``.  The
-backward pass regenerates the identical mask with a mask-only kernel seeded
-the same per-(batch, tile) way and differentiates an XLA reference forward
-(recompute-in-backward, like ops/pallas/dilated_conv.py).
+undropped probabilities — exactly ``dropout(softmax(logits)) @ v``.
+
+The backward (``_mha_bwd_kernel``) is a fused single pass over key tiles:
+the forward additionally emits its online-softmax stats (m, l), the true
+probs are recovered as exp(logits - m)/l per tile, and the softmax row term
+D = sum_x p*dp comes in precomputed as rowsum(dout * out) — which equals
+sum_x p_dropped * dp_raw, so it stays exact under dropout.  The dropout
+keep-mask is regenerated in-kernel with the same per-(batch, tile) seeding;
+this ties the forward and backward to the SAME key-tile size whenever
+rate > 0 (see ``_pick_tile``).  dq accumulates in VMEM scratch, dwk/dwv
+accumulate across the sequential grid into constant-index output blocks.
 
 Masking: invalid key columns get -1e9 before the online max (prefix-
 contiguous masks only — data/batching.py guarantees them).

@@ -104,3 +104,44 @@ def test_state_path_for_orbax_dir():
     assert p == "/x/ckpts/state.iter-12.state"
     p = ckpt_io._state_path("/x/ckpts/network.iter-12.net")
     assert p == "/x/ckpts/state.iter-12.state"
+
+
+def test_old_x2y_checkpoint_layout_migrates(tmp_path):
+    """Pre-split checkpoints (X2YMap out map as a nested TorchDense_0) load
+    through the migration shim in engine/checkpoint.py."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import serialization
+
+    from fact_clip_tpu.engine import checkpoint as ckpt_io
+    from fact_clip_tpu.models.blocks import build_fact
+    from test_model import make_batch, small_cfg
+
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng)
+    cfg = small_cfg("iu")
+    model = build_fact(cfg, 12, 5, s_pred_cap=24)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        batch["feats"], batch["mask"], batch["lengths"], train=False)
+
+    def to_old(tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            v = to_old(v)
+            out[k] = v
+        if "xk_kernel" in out and "out_kernel" in out:
+            out["TorchDense_0"] = {"Dense_0": {
+                "kernel": out.pop("out_kernel"), "bias": out.pop("out_bias")}}
+        return out
+
+    old_sd = to_old(serialization.to_state_dict(params))
+    fname = str(tmp_path / "old.net")
+    with open(fname, "wb") as f:
+        f.write(serialization.msgpack_serialize(old_sd))
+
+    restored = ckpt_io.load_params(params, fname)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
