@@ -26,21 +26,33 @@ def save_params(params, fname: str) -> None:
         f.write(serialization.to_bytes(params))
 
 
-def _migrate_x2y_out_dense(tree):
-    """Pre-2026-08-17 checkpoints store the X2YMap out map as a nested
-    TorchDense_0 child; it is now a flat out_kernel/out_bias pair
-    (models/layers.py::X2YMap — the split dense that skips the concat).
-    X2YMap nodes are recognized by their xk_kernel sibling, so abranch
-    TorchDense_0 children are left untouched."""
+def _migrate_param_layouts(tree):
+    """Migrate pre-2026-08-17 checkpoint layouts:
+
+    * X2YMap out map: nested ``TorchDense_0`` child -> flat
+      ``out_kernel/out_bias`` (models/layers.py::X2YMap — the split dense
+      that skips the concat).  X2YMap nodes are recognized by their
+      xk_kernel sibling, so abranch TorchDense_0 children are untouched.
+    * BiGRU: ``l{i}_{dir}/cell/{w_ih,b_ih,w_hh,b_hh}`` -> input projection
+      hoisted to ``l{i}_{dir}_w_ih/b_ih`` beside a ``l{i}_{dir}/{w_hh,b_hh}``
+      recurrent step (the input gates now precompute outside the scan).
+    """
     if not isinstance(tree, dict):
         return tree
     out = {}
     for k, v in tree.items():
-        v = _migrate_x2y_out_dense(v)
+        v = _migrate_param_layouts(v)
         if (k == "TorchDense_0" and isinstance(v, dict) and "Dense_0" in v
                 and "xk_kernel" in tree):
             out["out_kernel"] = v["Dense_0"]["kernel"]
             out["out_bias"] = v["Dense_0"]["bias"]
+        elif (isinstance(v, dict) and set(v) == {"cell"}
+              and isinstance(v["cell"], dict)
+              and set(v["cell"]) == {"w_ih", "b_ih", "w_hh", "b_hh"}):
+            cell = v["cell"]
+            out[k] = {"w_hh": cell["w_hh"], "b_hh": cell["b_hh"]}
+            out[f"{k}_w_ih"] = cell["w_ih"]
+            out[f"{k}_b_ih"] = cell["b_ih"]
         else:
             out[k] = v
     return out
@@ -53,7 +65,7 @@ def load_params(template, fname: str):
         return serialization.from_bytes(template, data)
     except (ValueError, KeyError):
         raw = serialization.msgpack_restore(data)
-        return serialization.from_state_dict(template, _migrate_x2y_out_dense(raw))
+        return serialization.from_state_dict(template, _migrate_param_layouts(raw))
 
 
 def save_params_orbax(params, dirname: str) -> None:

@@ -710,40 +710,27 @@ class SCADecoder(nn.Module):
 # GRU
 
 
-class GRUCell(nn.Module):
-    """GRU cell with torch gate math: n = tanh(W_in x + b_in + r*(W_hn h + b_hn))."""
+class _GRURecurStep(nn.Module):
+    """One recurrent GRU step on *precomputed* input gates (torch gate math:
+    n = tanh(gi_n + r*(W_hn h + b_hn))); carries the hidden state through
+    padded frames."""
 
     hidden: int
 
     @nn.compact
-    def __call__(self, h, x):
+    def __call__(self, h, inp):
+        gi_t, mt = inp
         H = self.hidden
-        in_dim = x.shape[-1]
         bound = 1.0 / math.sqrt(H)
-        w_ih = self.param("w_ih", uniform_init(bound), (in_dim, 3 * H))
         w_hh = self.param("w_hh", uniform_init(bound), (H, 3 * H))
-        b_ih = self.param("b_ih", uniform_init(bound), (3 * H,))
         b_hh = self.param("b_hh", uniform_init(bound), (3 * H,))
-
-        gi = x @ w_ih + b_ih
         gh = h @ w_hh + b_hh
-        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+        i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
         h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
         r = jax.nn.sigmoid(i_r + h_r)
         z = jax.nn.sigmoid(i_z + h_z)
         n = jnp.tanh(i_n + r * h_n)
-        return (1.0 - z) * n + z * h
-
-
-class _MaskedGRUStep(nn.Module):
-    """One masked GRU step: carries the hidden state through padded frames."""
-
-    hidden: int
-
-    @nn.compact
-    def __call__(self, h, xm):
-        xt, mt = xm
-        h_new = GRUCell(self.hidden, name="cell")(h, xt)
+        h_new = (1.0 - z) * n + z * h
         h = mt * h_new + (1.0 - mt) * h
         return h, h
 
@@ -755,6 +742,15 @@ class BiGRU(nn.Module):
     the hidden state carries through padded steps unchanged, so the backward
     pass entering the valid region is identical to running on the unpadded
     sequence.  Inter-layer dropout as in torch (all layers but the last).
+
+    The input projection (x @ W_ih) does not depend on the recurrence, so it
+    runs for ALL steps in one batched MXU matmul before the scan; only the
+    h @ W_hh half stays sequential.  This halves the serial matmuls and
+    turns the W_ih weight grad into one big contraction instead of N
+    accumulated tiny ones (profiled ~1 ms/step at flagship scale).  Params:
+    ``l{i}_{fwd,bwd}_w_ih/b_ih`` at this module + ``l{i}_{fwd,bwd}/w_hh,
+    b_hh`` in the scanned step (engine/checkpoint.py migrates the old
+    ``l{i}_{dir}/cell/*`` layout).
     """
 
     hidden: int  # per direction
@@ -765,9 +761,10 @@ class BiGRU(nn.Module):
     def __call__(self, x, mask, deterministic=True):
         B, N, _ = x.shape
         m = mask.astype(x.dtype)[:, :, None]
+        bound = 1.0 / math.sqrt(self.hidden)
 
         scan_step = nn.scan(
-            _MaskedGRUStep,
+            _GRURecurStep,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=1,
@@ -775,10 +772,14 @@ class BiGRU(nn.Module):
         )
 
         def run_direction(inp, name, reverse):
+            in_dim = inp.shape[-1]
+            w_ih = self.param(f"{name}_w_ih", uniform_init(bound), (in_dim, 3 * self.hidden))
+            b_ih = self.param(f"{name}_b_ih", uniform_init(bound), (3 * self.hidden,))
+            gi = inp @ w_ih + b_ih  # (B, N, 3H): every step's input gates at once
             h0 = jnp.zeros((B, self.hidden), inp.dtype)
-            xs = jnp.flip(inp, axis=1) if reverse else inp
+            gs = jnp.flip(gi, axis=1) if reverse else gi
             ms = jnp.flip(m, axis=1) if reverse else m
-            _, ys = scan_step(self.hidden, name=name)(h0, (xs, ms))
+            _, ys = scan_step(self.hidden, name=name)(h0, (gs, ms))
             return jnp.flip(ys, axis=1) if reverse else ys
 
         out = x

@@ -185,12 +185,12 @@ def _gru(sd, prefix, num_layers):
     out = {}
     for layer in range(num_layers):
         for tag, suffix in (("fwd", ""), ("bwd", "_reverse")):
-            out[f"l{layer}_{tag}"] = {"cell": {
-                "w_ih": _t(sd(f"{prefix}.weight_ih_l{layer}{suffix}")),
+            out[f"l{layer}_{tag}"] = {
                 "w_hh": _t(sd(f"{prefix}.weight_hh_l{layer}{suffix}")),
-                "b_ih": sd(f"{prefix}.bias_ih_l{layer}{suffix}"),
                 "b_hh": sd(f"{prefix}.bias_hh_l{layer}{suffix}"),
-            }}
+            }
+            out[f"l{layer}_{tag}_w_ih"] = _t(sd(f"{prefix}.weight_ih_l{layer}{suffix}"))
+            out[f"l{layer}_{tag}_b_ih"] = sd(f"{prefix}.bias_ih_l{layer}{suffix}")
     return out
 
 

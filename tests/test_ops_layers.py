@@ -178,22 +178,25 @@ def test_mstcn2_padding_invariance(rng):
 
 # ------------------------------------------------------------- GRU parity
 def test_gru_cell_matches_torch(rng):
+    """One recurrent step (input gates precomputed) == torch GRUCell."""
     in_dim, H = 6, 8
-    cell = L.GRUCell(H)
-    params = cell.init(jax.random.PRNGKey(0), jnp.zeros((2, H)), jnp.zeros((2, in_dim)))
+    step = L._GRURecurStep(H)
+    params = step.init(jax.random.PRNGKey(0),
+                       jnp.zeros((2, H)), (jnp.zeros((2, 3 * H)), jnp.ones((2, 1))))
     tcell = torch.nn.GRUCell(in_dim, H)
     p = dict(params["params"])
-    p["w_ih"] = jnp.array(tcell.weight_ih.detach().numpy().T)
     p["w_hh"] = jnp.array(tcell.weight_hh.detach().numpy().T)
-    p["b_ih"] = jnp.array(tcell.bias_ih.detach().numpy())
     p["b_hh"] = jnp.array(tcell.bias_hh.detach().numpy())
+    w_ih = tcell.weight_ih.detach().numpy().T
+    b_ih = tcell.bias_ih.detach().numpy()
 
     x = rng.normal(size=(2, in_dim)).astype(np.float32)
     h = rng.normal(size=(2, H)).astype(np.float32)
-    ours = np.array(cell.apply({"params": p}, jnp.array(h), jnp.array(x)))
+    gi = jnp.array(x @ w_ih + b_ih)
+    ours, _ = step.apply({"params": p}, jnp.array(h), (gi, jnp.ones((2, 1))))
     with torch.no_grad():
         ref = tcell(torch.from_numpy(x), torch.from_numpy(h)).numpy()
-    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    np.testing.assert_allclose(np.array(ours), ref, atol=1e-5)
 
 
 def test_bigru_matches_torch_and_padding_invariant(rng):
@@ -211,12 +214,14 @@ def test_bigru_matches_torch_and_padding_invariant(rng):
     for layer in range(layers):
         for direction, tag in [(0, "fwd"), (1, "bwd")]:
             suffix = "_reverse" if direction else ""
-            p[f"l{layer}_{tag}"] = {"cell": {
-                "w_ih": jnp.array(getattr(tgru, f"weight_ih_l{layer}{suffix}").detach().numpy().T),
+            p[f"l{layer}_{tag}"] = {
                 "w_hh": jnp.array(getattr(tgru, f"weight_hh_l{layer}{suffix}").detach().numpy().T),
-                "b_ih": jnp.array(getattr(tgru, f"bias_ih_l{layer}{suffix}").detach().numpy()),
                 "b_hh": jnp.array(getattr(tgru, f"bias_hh_l{layer}{suffix}").detach().numpy()),
-            }}
+            }
+            p[f"l{layer}_{tag}_w_ih"] = jnp.array(
+                getattr(tgru, f"weight_ih_l{layer}{suffix}").detach().numpy().T)
+            p[f"l{layer}_{tag}_b_ih"] = jnp.array(
+                getattr(tgru, f"bias_ih_l{layer}{suffix}").detach().numpy())
 
     ours = np.array(m.apply({"params": p}, jnp.array(x), jnp.ones((1, T), bool)))
     np.testing.assert_allclose(ours, ref, atol=1e-5)

@@ -120,7 +120,7 @@ def test_old_x2y_checkpoint_layout_migrates(tmp_path):
 
     rng = np.random.default_rng(0)
     batch = make_batch(rng)
-    cfg = small_cfg("iu")
+    cfg = small_cfg("iuU")  # U block: includes the seg_update BiGRU
     model = build_fact(cfg, 12, 5, s_pred_cap=24)
     params = model.init({"params": jax.random.PRNGKey(0)},
                         batch["feats"], batch["mask"], batch["lengths"], train=False)
@@ -135,6 +135,11 @@ def test_old_x2y_checkpoint_layout_migrates(tmp_path):
         if "xk_kernel" in out and "out_kernel" in out:
             out["TorchDense_0"] = {"Dense_0": {
                 "kernel": out.pop("out_kernel"), "bias": out.pop("out_bias")}}
+        for k in [k for k in out if k.endswith("_w_ih")]:
+            name = k[: -len("_w_ih")]  # BiGRU: fold back into the old cell
+            out[name] = {"cell": {
+                "w_ih": out.pop(k), "b_ih": out.pop(f"{name}_b_ih"),
+                "w_hh": out[name]["w_hh"], "b_hh": out[name]["b_hh"]}}
         return out
 
     old_sd = to_old(serialization.to_state_dict(params))
