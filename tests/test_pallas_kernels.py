@@ -730,3 +730,75 @@ def test_stack_grads_no_ln(rng):
         if a.shape == ():  # gamma/beta grads are zero in no-LN mode
             continue
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_full_model_grads_pallas_vs_xla(rng):
+    """Integration guard: the whole FACT model's loss + grads with EVERY
+    fused kernel engaged (stacks, MHA, X2Y — interpret mode, all custom
+    backwards) match the plain-XLA path.  Catches interactions between the
+    fused backwards inside one graph that per-kernel tests cannot."""
+    import unittest.mock as mock
+
+    from fact_clip_tpu.models import blocks as blocks_mod
+    from fact_clip_tpu.models import losses, matching
+    from fact_clip_tpu.models.blocks import build_fact
+    from fact_clip_tpu.ops.pallas import dilated_conv as dc
+    from fact_clip_tpu.ops.pallas import mha_attn as mha
+    from fact_clip_tpu.ops.pallas import x2y_attn as x2y
+
+    from test_model import make_batch, small_cfg
+
+    batch = make_batch(rng)
+    C = 5
+    cfg = small_cfg("iuU")
+    cfg.Bi.dropout = 0.0  # the CPU interpreter cannot run the TPU PRNG
+    cfg.Bi.a = "sca"  # exercise the fused MHA path
+    model = build_fact(cfg, 12, C, s_pred_cap=24)
+    cfgp = small_cfg("iuU")
+    cfgp.Bi.dropout = 0.0
+    cfgp.Bi.a = "sca"
+    cfgp.TPU.pallas = True
+    model_p = build_fact(cfgp, 12, C, s_pred_cap=24)
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "aug": jax.random.PRNGKey(2)},
+        batch["feats"], batch["mask"], batch["lengths"], train=False,
+    )
+
+    def loss_for(m, p):
+        saves, _ = m.apply(p, batch["feats"], batch["mask"], batch["lengths"], train=False)
+        cprob = jax.nn.softmax(saves[-1]["action_clogit"], axis=-1)
+        seg2tok = matching.match(
+            cfg.Loss, cprob, saves[-1]["a2f_attn"], batch["transcript"],
+            batch["seg_label"], batch["seg_mask"], batch["mask"],
+            matcher="host", nclasses=C,
+        )
+        per_video = losses.fact_loss(
+            saves, batch, seg2tok, jnp.ones((C + 1,)), cfg.Loss.sw, token_mask=None
+        )
+        return per_video.mean()
+
+    def interp(fn, **extra):
+        def wrapped(*a, **kw):
+            kw["interpret"] = True
+            kw.update(extra)
+            return fn(*a, **kw)
+        return wrapped
+
+    l_plain, g_plain = jax.value_and_grad(lambda p: loss_for(model, p))(params)
+    with mock.patch.object(blocks_mod, "_want_pallas", lambda cfg: True), \
+         mock.patch.object(dc, "dilated_residual_stack", interp(dc.dilated_residual_stack, tile=32)), \
+         mock.patch.object(dc, "dilated_residual2_stack", interp(dc.dilated_residual2_stack, tile=32)), \
+         mock.patch.object(mha, "mha_cross_attention", interp(mha.mha_cross_attention, tile=256)), \
+         mock.patch.object(x2y, "x2y_attention", interp(x2y.x2y_attention, tile=256)):
+        model_p = build_fact(cfgp, 12, C, s_pred_cap=24)  # re-resolve block cfgs
+        l_pallas, g_pallas = jax.value_and_grad(lambda p: loss_for(model_p, p))(params)
+
+    assert abs(float(l_pallas) - float(l_plain)) < 1e-3 * max(1.0, abs(float(l_plain)))
+    va = np.concatenate([np.asarray(t).ravel() for t in jax.tree_util.tree_leaves(g_pallas)])
+    vb = np.concatenate([np.asarray(t).ravel() for t in jax.tree_util.tree_leaves(g_plain)])
+    assert np.isfinite(va).all()
+    cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb) + 1e-12))
+    assert cos > 0.9999, cos
+    np.testing.assert_allclose(va, vb, atol=5e-3 * max(1.0, np.abs(vb).max()))
