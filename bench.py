@@ -25,6 +25,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent XLA compile cache (must go through jax.config — sitecustomize
+# imports jax before us, so the env var is already snapshotted)
+import jax as _jax
+
+if _jax.config.jax_compilation_cache_dir is None:
+    _jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))

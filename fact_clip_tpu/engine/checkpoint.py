@@ -80,7 +80,13 @@ def load_params_orbax(template, dirname: str):
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as ckptr:
-        return ckptr.restore(os.path.abspath(dirname), item=template)
+        try:
+            return ckptr.restore(os.path.abspath(dirname), item=template)
+        except (ValueError, KeyError):
+            # Pre-migration layout (see _migrate_param_layouts): restore the
+            # raw tree, migrate, then shape it onto the template.
+            raw = ckptr.restore(os.path.abspath(dirname))
+            return serialization.from_state_dict(template, _migrate_param_layouts(raw))
 
 
 def save_model(params, ckptdir: str, iteration: int, backend: str = "msgpack") -> str:
@@ -131,7 +137,16 @@ def load_train_state(template_state, ckpt_file: str):
     if not os.path.exists(fname):
         return None
     with open(fname, "rb") as f:
-        return serialization.from_bytes(template_state, f.read())
+        data = f.read()
+    try:
+        return serialization.from_bytes(template_state, data)
+    except (ValueError, KeyError):
+        # Pre-migration sidecar: migrate params AND the param-shaped Adam
+        # moments (mu/nu mirror the param tree, so the same structural
+        # rewrite applies) before fitting the template.  Keeps the
+        # auto-resume contract across param-layout changes.
+        raw = serialization.msgpack_restore(data)
+        return serialization.from_state_dict(template_state, _migrate_param_layouts(raw))
 
 
 def load_model(template, path: str):

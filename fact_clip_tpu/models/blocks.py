@@ -345,7 +345,12 @@ class UpdateBlockTDU(nn.Module):
         # which XLA:TPU executes as a ~latency-bound serial loop (profiled
         # ~0.25 ms/step per scatter at flagship scale).
         Pc = P.astype(seg_out.dtype)
-        s2f = jnp.einsum("bts,bsh->bth", Pc, seg_out)  # (B, T, f_dim)
+        # HIGHEST precision: P rows are one-hot so the dot is a selection —
+        # exact at full precision (matching the gather it replaced) and free
+        # on the MXU for one-hot operands; default TPU precision would
+        # truncate seg_out to bf16 mantissas in f32 mode.
+        s2f = jnp.einsum("bts,bsh->bth", Pc, seg_out,
+                         precision=jax.lax.Precision.HIGHEST)  # (B, T, f_dim)
         merged = jnp.concatenate([s2f, frame_feature], axis=-1)
         frame_feature = jax.nn.relu(L.TorchDense(c.f_dim, name="sf_merge")(merged))
 

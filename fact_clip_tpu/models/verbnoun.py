@@ -212,7 +212,8 @@ class UpdateBlockTDUVN(nn.Module):
         # latency-bound scatter-add on TPU; the one-hot P rows make the
         # matmul equal to the gather on valid frames (zeros on padding)
         P = tdu["P"]
-        s2f = jnp.einsum("bts,bsh->bth", P.astype(seg_out.dtype), seg_out)
+        s2f = jnp.einsum("bts,bsh->bth", P.astype(seg_out.dtype), seg_out,
+                         precision=jax.lax.Precision.HIGHEST)
         merged = jnp.concatenate([s2f, frame_feature], axis=-1)
         frame_feature = jax.nn.relu(L.TorchDense(c.f_dim, name="sf_merge")(merged))
 

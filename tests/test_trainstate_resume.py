@@ -106,15 +106,31 @@ def test_state_path_for_orbax_dir():
     assert p == "/x/ckpts/state.iter-12.state"
 
 
+def _to_old_layout(tree):
+    """Rewrite a current state_dict into the pre-2026-08-17 layout (nested
+    X2YMap TorchDense_0 out map; BiGRU gates folded into a cell node) — the
+    inverse of engine/checkpoint._migrate_param_layouts."""
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    for k, v in tree.items():
+        out[k] = _to_old_layout(v)
+    if "xk_kernel" in out and "out_kernel" in out:
+        out["TorchDense_0"] = {"Dense_0": {
+            "kernel": out.pop("out_kernel"), "bias": out.pop("out_bias")}}
+    for k in [k for k in out if k.endswith("_w_ih")]:
+        name = k[: -len("_w_ih")]  # BiGRU: fold back into the old cell
+        out[name] = {"cell": {
+            "w_ih": out.pop(k), "b_ih": out.pop(f"{name}_b_ih"),
+            "w_hh": out[name]["w_hh"], "b_hh": out[name]["b_hh"]}}
+    return out
+
+
 def test_old_x2y_checkpoint_layout_migrates(tmp_path):
     """Pre-split checkpoints (X2YMap out map as a nested TorchDense_0) load
     through the migration shim in engine/checkpoint.py."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
     from flax import serialization
 
-    from fact_clip_tpu.engine import checkpoint as ckpt_io
     from fact_clip_tpu.models.blocks import build_fact
     from test_model import make_batch, small_cfg
 
@@ -125,24 +141,7 @@ def test_old_x2y_checkpoint_layout_migrates(tmp_path):
     params = model.init({"params": jax.random.PRNGKey(0)},
                         batch["feats"], batch["mask"], batch["lengths"], train=False)
 
-    def to_old(tree):
-        if not isinstance(tree, dict):
-            return tree
-        out = {}
-        for k, v in tree.items():
-            v = to_old(v)
-            out[k] = v
-        if "xk_kernel" in out and "out_kernel" in out:
-            out["TorchDense_0"] = {"Dense_0": {
-                "kernel": out.pop("out_kernel"), "bias": out.pop("out_bias")}}
-        for k in [k for k in out if k.endswith("_w_ih")]:
-            name = k[: -len("_w_ih")]  # BiGRU: fold back into the old cell
-            out[name] = {"cell": {
-                "w_ih": out.pop(k), "b_ih": out.pop(f"{name}_b_ih"),
-                "w_hh": out[name]["w_hh"], "b_hh": out[name]["b_hh"]}}
-        return out
-
-    old_sd = to_old(serialization.to_state_dict(params))
+    old_sd = _to_old_layout(serialization.to_state_dict(params))
     fname = str(tmp_path / "old.net")
     with open(fname, "wb") as f:
         f.write(serialization.msgpack_serialize(old_sd))
@@ -150,3 +149,27 @@ def test_old_x2y_checkpoint_layout_migrates(tmp_path):
     restored = ckpt_io.load_params(params, fname)
     for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_old_trainstate_sidecar_migrates(tmp_path):
+    """A pre-migration TrainState sidecar (old param layouts in params AND in
+    the param-shaped Adam moments) restores through load_train_state instead
+    of raising — the auto-resume contract survives layout changes."""
+    from flax import serialization
+
+    cfg, state0, train_step, batch = _setup("Adam")
+    state_half, _ = _run(state0, train_step, batch, 2)
+
+    sd = serialization.to_state_dict(state_half)
+    old_sd = _to_old_layout(sd)
+    assert old_sd != sd, "fixture should actually produce an old layout"
+    ckptdir = str(tmp_path)
+    ckpt_io.save_model(state_half.params, ckptdir, 2)
+    with open(ckpt_io._state_path(os.path.join(ckptdir, "network.iter-2.net")), "wb") as f:
+        f.write(serialization.msgpack_serialize(old_sd))
+
+    restored = ckpt_io.load_train_state(state0, os.path.join(ckptdir, "network.iter-2.net"))
+    assert restored is not None
+    assert int(restored.step) == int(state_half.step)
+    assert _trees_equal(restored.params, state_half.params)
+    assert _trees_equal(restored.opt_state, state_half.opt_state)
