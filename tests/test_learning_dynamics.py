@@ -1,0 +1,50 @@
+"""End-to-end learning-dynamics parity: train BOTH stacks from scratch.
+
+Drives scripts/learning_dynamics.py — the reference PyTorch implementation
+through its real CLI (/root/reference/scripts/train.py, launched by
+scripts/ref_train_runner.py with wandb/CUDA/BASE shims) and this framework
+through scripts/train.py — on the same fixture dataset written in the
+reference's on-disk layout, two seeds each, and asserts the stated
+tolerances: per-checkpoint train-loss curves within mean |log-ratio| 0.15,
+final Acc and F1@50 not worse than the reference by more than 10 points,
+and monotone loss decrease.
+
+This is the last correctness surface beyond same-loss-on-same-weights
+(tests/test_torch_parity.py): it validates optimizer settings, LR placement,
+loss weighting, init scales and matching dynamics end to end.
+
+Runtime: ~6-10 minutes (4 subprocess trainings of ~200 steps each on CPU).
+"""
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference repo not mounted")
+
+
+def test_learning_dynamics_parity(tmp_path):
+    import learning_dynamics as ld
+
+    workdir = str(tmp_path)
+    cfg_path = ld.make_fixture(workdir)
+
+    ref_runs, our_runs = [], []
+    for seed in (1, 2):
+        ref_runs.append(ld.run_reference(workdir, cfg_path, seed))
+        our_runs.append(ld.run_ours(workdir, cfg_path, seed))
+
+    summary, ok = ld.compare(ref_runs, our_runs)
+    for c in summary["checks"]:
+        print(("PASS" if c["pass"] else "FAIL"), c)
+    assert ok, summary["checks"]
+
+    # every run actually trained and evaluated
+    for r in ref_runs + our_runs:
+        assert len(r["losses"]) >= 5
+        assert len(r["evals"]) >= 1
