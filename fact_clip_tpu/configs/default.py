@@ -168,7 +168,9 @@ TPU.bucket_growth = 1.26  # geometric growth between length buckets (limits reco
 TPU.max_gt_segs = -1  # static cap on ground-truth segments; -1 -> scan dataset
 TPU.max_pred_segs = -1  # static cap on TDU predicted segments; -1 -> auto from max_gt_segs
 TPU.compute_dtype = "float32"  # "float32" | "bfloat16" for activations/matmuls
+TPU.feature_dtype = ""  # input-feature feed dtype; "" -> follow compute_dtype
 TPU.matcher = "auto"  # "host" (scipy callback; CPU only) | "auction" (on-device) | "auto"
+TPU.auction_phases = 1  # >1: Bertsekas epsilon scaling (worst-case guarantee; ops/assignment.py)
 TPU.data_axis = "data"  # mesh axis name for data parallelism
 TPU.seq_axis = "seq"  # mesh axis name for sequence (time) sharding
 TPU.num_data_shards = -1  # -1 -> all visible devices on the data axis

@@ -73,6 +73,7 @@ def make_step_fns(model, cfg, nclasses: int, cweight, clip_bundle=None, verbnoun
         )
 
     matcher = cfg.TPU.matcher if "TPU" in cfg else "auto"
+    auction_phases = int(getattr(cfg.TPU, "auction_phases", 1)) if "TPU" in cfg else 1
 
     def _match(saves, batch):
         last = saves[-1]
@@ -83,6 +84,7 @@ def make_step_fns(model, cfg, nclasses: int, cweight, clip_bundle=None, verbnoun
         return matching.match(
             loss_cfg, cprob, last["a2f_attn"], batch["transcript"], batch["seg_label"],
             batch["seg_mask"], batch["mask"], matcher=matcher, nclasses=nclasses,
+            phases=auction_phases,
         )
 
     def _loss(saves, batch, frame_emb):

@@ -120,7 +120,8 @@ def resolve_matcher(matcher: str = "auto") -> str:
     return "host" if jax.default_backend() == "cpu" else "auction"
 
 
-def run_match(cost, transcript, seg_mask, mode: str, matcher: str = "auto", nclasses: int = None):
+def run_match(cost, transcript, seg_mask, mode: str, matcher: str = "auto", nclasses: int = None,
+              phases: int = 1):
     """Dispatch to the solver; returns seg2tok (B, S) int32."""
     B, M, S = cost.shape
     if mode == "seq":
@@ -135,7 +136,7 @@ def run_match(cost, transcript, seg_mask, mode: str, matcher: str = "auto", ncla
 
         if mode == "o2o":
             st = jax.vmap(
-                lambda c, m: assignment.auction_assign(c, m, safety_net=False)
+                lambda c, m: assignment.auction_assign(c, m, safety_net=False, phases=phases)
             )(cost, seg_mask)
             # the sequential S-step fallback only compiles into the taken
             # branch: the auction converges in a couple of iterations in
@@ -153,7 +154,7 @@ def run_match(cost, transcript, seg_mask, mode: str, matcher: str = "auto", ncla
                 lambda c, t, m: assignment.o2m_class_cost(c, t, m, nclasses)
             )(cost, t32, seg_mask)
             tfc = jax.vmap(
-                lambda c, m: assignment.auction_assign(c, m, safety_net=False)
+                lambda c, m: assignment.auction_assign(c, m, safety_net=False, phases=phases)
             )(class_cost, class_present)
             tfc = jax.lax.cond(  # same rarely-taken fallback gating as o2o
                 ((tfc < 0) & class_present).any(),
@@ -181,7 +182,7 @@ def run_match(cost, transcript, seg_mask, mode: str, matcher: str = "auto", ncla
 
 
 def match(cfg_loss, action_cprob, a2f_attn, transcript, seg_label, seg_mask, frame_mask,
-          matcher: str = "auto", nclasses: int = None):
+          matcher: str = "auto", nclasses: int = None, phases: int = 1):
     """Full matching step: cost + solve.  All inputs batched."""
     if cfg_loss.match == "seq":
         B, S = transcript.shape
@@ -190,4 +191,5 @@ def match(cfg_loss, action_cprob, a2f_attn, transcript, seg_label, seg_mask, fra
         action_cprob, a2f_attn, transcript, seg_label, seg_mask, frame_mask,
         cfg_loss.pc, cfg_loss.a2fc,
     )
-    return run_match(cost, transcript, seg_mask, cfg_loss.match, matcher=matcher, nclasses=nclasses)
+    return run_match(cost, transcript, seg_mask, cfg_loss.match, matcher=matcher, nclasses=nclasses,
+                     phases=phases)

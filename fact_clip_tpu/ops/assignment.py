@@ -72,7 +72,8 @@ def _auction_phase(value, col_valid, price, eps, max_iters):
 
 
 def auction_assign(cost, col_valid, eps_rel: float = 1e-3, max_iters: int = 50000,
-                   with_stats: bool = False, safety_net: bool = True):
+                   with_stats: bool = False, safety_net: bool = True,
+                   phases: int = 1):
     """Minimize assignment cost. cost: (M, S); col_valid: (S,) bool.
 
     Returns seg_tok (S,) int32 — a distinct token per valid segment
@@ -83,27 +84,61 @@ def auction_assign(cost, col_valid, eps_rel: float = 1e-3, max_iters: int = 5000
     (auction iterations, segments left to the sequential safety net, the
     eps-suboptimality bound).
 
-    A single phase with small epsilon from zero prices: suboptimality is
-    bounded by S * eps = S * eps_rel * spread; matching costs here live in
-    [-(pc + a2fc), 0], so this is far below the scale that changes training
-    targets, and empirically the assignment equals scipy's exactly
-    (tests/test_matching.py incl. trained-model and near-tie stress).
+    phases=1 (default): a single phase with small epsilon from zero prices;
+    suboptimality is bounded by S * eps = S * eps_rel * spread.  Matching
+    costs here live in [-(pc + a2fc), 0], so this is far below the scale
+    that changes training targets, and empirically the assignment equals
+    scipy's exactly (tests/test_matching.py incl. trained-model and
+    near-tie stress).
+
+    phases>1: Bertsekas epsilon scaling — run the phase at a geometric
+    ladder of epsilons from spread/4 down to spread*eps_rel, carrying prices
+    forward (each phase starts near-equilibrium, so its iteration count
+    stays bounded even on adversarial cost spreads where a single small-eps
+    phase can churn).  Price carry-over is only sound when every phase ends
+    in a PERFECT matching (with M > S tokens, a token left unowned keeps a
+    stale high price from a coarse phase and — since auction prices never
+    fall — stays wrongly unattractive forever; measured: breaks the bound by
+    orders of magnitude on grid-valued costs).  So the scaled path pads the
+    problem symmetric with zero-value dummy columns: all M tokens end owned
+    each phase, the duality argument goes through with carried prices, and
+    the final real-segment assignment is within M*eps_final of optimal.
+    Opt in via cfg.TPU.auction_phases.
     """
     M, S = cost.shape
     value = -cost
     spread = jnp.maximum(value.max() - value.min(), 1e-3)
-    price = jnp.zeros((M,), value.dtype)
-    eps = spread * eps_rel
-    seg_tok, price, iters = _auction_phase(value, col_valid, price, eps, max_iters)
+
+    if phases <= 1:
+        eps = spread * eps_rel
+        price = jnp.zeros((M,), value.dtype)
+        seg_tok, price, total_iters = _auction_phase(value, col_valid, price, eps, max_iters)
+        eps_bound = eps * col_valid.sum()
+    else:
+        # geometric: eps_0 = spread/4, eps_{phases-1} = spread * eps_rel
+        ratio = (4.0 * eps_rel) ** (1.0 / (phases - 1))
+        eps_ladder = [spread / 4.0 * (ratio ** i) for i in range(phases)]
+        # symmetric padding: invalid and dummy columns get constant value 0,
+        # so they soak up leftover tokens without biasing the real columns
+        v_pad = jnp.zeros((M, M), value.dtype)
+        v_pad = v_pad.at[:, :S].set(jnp.where(col_valid[None, :], value, 0.0))
+        all_valid = jnp.ones((M,), bool)
+        price = jnp.zeros((M,), value.dtype)
+        total_iters = jnp.int32(0)
+        for eps in eps_ladder:
+            seg_tok_pad, price, iters = _auction_phase(v_pad, all_valid, price, eps, max_iters)
+            total_iters = total_iters + iters
+        seg_tok = jnp.where(col_valid, seg_tok_pad[:S], -1)
+        eps_bound = eps_ladder[-1] * M
     fallback_segs = ((seg_tok < 0) & col_valid).sum()
 
     if safety_net:
         seg_tok = fallback_place(cost, col_valid, seg_tok)
     if with_stats:
         stats = {
-            "iterations": iters,
+            "iterations": total_iters,
             "fallback_segments": fallback_segs,
-            "eps_bound": eps * col_valid.sum(),
+            "eps_bound": eps_bound,
         }
         return seg_tok, stats
     return seg_tok
