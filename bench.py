@@ -45,6 +45,11 @@ BATCH = 8
 BUCKET = 3072
 STEPS = 20
 
+# TPU v5e peak: 197 TFLOP/s bf16 per chip (MXU).  MFU below is achieved
+# TFLOP/s over this peak; the inference path runs f32 activations but the
+# MXU is bf16-native either way, so bf16 peak is the roofline for both.
+PEAK_TFLOPS_BF16 = 197.0
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -129,6 +134,9 @@ def measure_ours_train():
 
     rng = np.random.default_rng(0)
     b = _bench_batch(rng, with_labels=True)
+    # features feed at the compute dtype (engine/train_loop.py does the same):
+    # halves the largest tensor's HBM traffic and removes the on-device cast
+    b["feats"] = b["feats"].astype(jnp.bfloat16)
     batch = {k: jax.device_put(jnp.asarray(v)) for k, v in b.items()}
 
     params = jax.jit(
@@ -171,7 +179,7 @@ def measure_ours_train():
     fps = BATCH * T_VIDEO / step_s / n_chips
     log(f"ours train: {step_s * 1000:.2f} ms/step ({BATCH} x {T_VIDEO} frames) "
         f"-> {fps:.0f} frames/s/chip")
-    return fps
+    return fps, step_s
 
 
 def measure_ours():
@@ -243,7 +251,7 @@ def measure_ours():
     fps = BATCH * T_VIDEO / step_s / n_chips
     log(f"ours: {step_s * 1000:.2f} ms/step ({BATCH} videos x {T_VIDEO} frames) "
         f"on {n_chips} chip(s) -> {fps:.0f} frames/s/chip")
-    return fps
+    return fps, step_s
 
 
 def measure_reference():
@@ -418,10 +426,41 @@ def get_reference_fps():
     return data.get("reference_cpu_fps"), data.get("reference_cpu_train_fps")
 
 
+def get_flops():
+    """FLOPs/step of the bench workload via XLA cost analysis on the CPU
+    backend with Pallas disabled (scripts/count_flops.py); cached because the
+    count is a property of the model/workload, not the run."""
+    data = {}
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            data = json.load(f)
+        if data.get("workload") != [D, C, NTOKEN, T_VIDEO]:
+            data = {}
+    if "train_flops_per_step" in data and "infer_flops_per_step" in data:
+        return data["train_flops_per_step"], data["infer_flops_per_step"]
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "count_flops.py")],
+            capture_output=True, text=True, timeout=1800, check=True,
+        ).stdout.strip().splitlines()[-1]
+        counts = json.loads(out)
+    except Exception as e:  # noqa: BLE001
+        log(f"flop counting failed: {e}")
+        return None, None
+    data.update({k: counts[k] for k in ("train_flops_per_step", "infer_flops_per_step")})
+    data["workload"] = [D, C, NTOKEN, T_VIDEO]
+    with open(CACHE, "w") as f:
+        json.dump(data, f, indent=2)
+    return data["train_flops_per_step"], data["infer_flops_per_step"]
+
+
 def main():
     ref_fps, ref_train_fps = get_reference_fps()
-    train_fps = measure_ours_train()
-    fps = measure_ours()
+    train_flops, infer_flops = get_flops()
+    train_fps, train_step_s = measure_ours_train()
+    fps, infer_step_s = measure_ours()
     vs = fps / ref_fps if ref_fps else 0.0
     result = {
         "metric": "frames_per_sec_per_chip",
@@ -433,6 +472,15 @@ def main():
     }
     if ref_train_fps:
         result["train_vs_baseline"] = round(train_fps / ref_train_fps, 2)
+    # absolute utilization: achieved TFLOP/s and fraction of v5e bf16 peak
+    if train_flops:
+        tflops = train_flops / train_step_s / 1e12
+        result["tflops_train"] = round(tflops, 1)
+        result["mfu_train"] = round(tflops / PEAK_TFLOPS_BF16, 3)
+    if infer_flops:
+        tflops = infer_flops / infer_step_s / 1e12
+        result["tflops_infer"] = round(tflops, 1)
+        result["mfu_infer"] = round(tflops / PEAK_TFLOPS_BF16, 3)
     print(json.dumps(result))
 
 

@@ -351,8 +351,10 @@ class UpdateBlockTDU(nn.Module):
         # truncate seg_out to bf16 mantissas in f32 mode.
         s2f = jnp.einsum("bts,bsh->bth", Pc, seg_out,
                          precision=jax.lax.Precision.HIGHEST)  # (B, T, f_dim)
-        merged = jnp.concatenate([s2f, frame_feature], axis=-1)
-        frame_feature = jax.nn.relu(L.TorchDense(c.f_dim, name="sf_merge")(merged))
+        # split dense == TorchDense(concat([s2f, frame])): the (B, T, 2*f_dim)
+        # concat (and its backward grad-split) never hits HBM
+        frame_feature = jax.nn.relu(
+            L.SplitTorchDense(c.f_dim, name="sf_merge")(s2f, frame_feature))
 
         frame_feature = make_fbranch(c, None, "frame_branch")(frame_feature, frame_mask, deterministic)
         frame_feature, frame_clogit = process_feature(frame_feature, self.nclass)

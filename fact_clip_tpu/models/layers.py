@@ -379,6 +379,43 @@ class MSTCN2(nn.Module):
 # attention
 
 
+class _TorchDenseParams(nn.Module):
+    """Parameter twin of TorchDense's inner nn.Dense (same scope leaves:
+    kernel/bias, same torch nn.Linear init) consumed by a split apply."""
+
+    features: int
+    in_dim: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_linear_kernel_init, (self.in_dim, self.features))
+        bias = self.param("bias", torch_linear_bias_init(self.in_dim), (self.features,))
+        return kernel, bias
+
+
+class SplitTorchDense(nn.Module):
+    """TorchDense over a PAIR of inputs: equals TorchDense(concat([a, b]))
+    but computes ``a @ W[:da] + b @ W[da:] + bias`` so the (B, T, da+db)
+    concat never materializes in HBM (and its backward never splits a
+    gradient concat).  Parameter tree is identical to TorchDense
+    (``Dense_0/{kernel,bias}`` with kernel (da+db, features)), so
+    checkpoints, torch_import and torch_export are unchanged."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, a, b):
+        da = a.shape[-1]
+        in_dim = da + b.shape[-1]
+        kernel, bias = _TorchDenseParams(self.features, in_dim, name="Dense_0")()
+        # mirror nn.Dense dtype semantics: promote inputs/params to dtype
+        ka = _cast(kernel[:da], self.dtype)
+        kb = _cast(kernel[da:], self.dtype)
+        out = _cast(a, self.dtype) @ ka + _cast(b, self.dtype) @ kb
+        return out + _cast(bias, self.dtype)
+
+
 class _DenseParams(nn.Module):
     """Parameter twin of an nn.Dense (same scope leaves: kernel/bias) whose
     weights are consumed by a fused kernel instead of being applied here."""

@@ -214,8 +214,8 @@ class UpdateBlockTDUVN(nn.Module):
         P = tdu["P"]
         s2f = jnp.einsum("bts,bsh->bth", P.astype(seg_out.dtype), seg_out,
                          precision=jax.lax.Precision.HIGHEST)
-        merged = jnp.concatenate([s2f, frame_feature], axis=-1)
-        frame_feature = jax.nn.relu(L.TorchDense(c.f_dim, name="sf_merge")(merged))
+        frame_feature = jax.nn.relu(
+            L.SplitTorchDense(c.f_dim, name="sf_merge")(s2f, frame_feature))
 
         frame_feature = make_fbranch(c, None, "frame_branch")(frame_feature, frame_mask, deterministic)
         frame_feature, frame_clogit = process_feature_vn(frame_feature, self.n1, self.n2)
