@@ -25,16 +25,21 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-SUITES = ["verify_stack_bwd.py", "verify_pallas_mha.py", "verify_pallas_dropout.py"]
+SUITES = ["verify_stack_bwd.py", "verify_pallas_mha.py", "verify_pallas_dropout.py",
+          "verify_x2y_bwd.py"]
 
 LINE = re.compile(r"^(PASS|FAIL)\s+(\S.*?)(?:\s+rel-err\s+([0-9.e+-]+))?\s*$")
 
 
 def run_suite(script: str):
     t0 = time.time()
+    env = dict(os.environ)
+    # effective when set before launch: sitecustomize imports jax at
+    # interpreter startup, which snapshots this env var
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", script)],
-        capture_output=True, text=True, cwd=REPO, timeout=3600,
+        capture_output=True, text=True, cwd=REPO, timeout=3600, env=env,
     )
     checks = []
     for raw in proc.stdout.splitlines():

@@ -319,6 +319,41 @@ def test_x2y_attention_grads_match_xla(rng, X, Y):
         np.testing.assert_allclose(a, b, atol=tol, err_msg=n)
 
 
+@pytest.mark.parametrize("X,Y", [(24, 70), (2000, 16)])
+def test_x2y_grads_batched_pos_fallback(rng, X, Y):
+    """Per-batch pos tensors take the XLA-recompute backward (the fused
+    kernels batch-reduce the pos cotangent away); grads must still match."""
+    from fact_clip_tpu.ops.pallas.x2y_attn import x2y_attention
+
+    B, Cx, Cy, d = 2, 16, 16, 64
+    y_in = jnp.array(rng.normal(size=(B, Y, Cy)).astype(np.float32))
+    y_pos = jnp.array(rng.normal(size=(B, Y, Cy)).astype(np.float32))  # batched
+    x_in = jnp.array(rng.normal(size=(B, X, Cx)).astype(np.float32))
+    x_pos = jnp.array(rng.normal(size=(B, X, Cx)).astype(np.float32))  # batched
+    mk = lambda *s: jnp.array(rng.normal(size=s).astype(np.float32) * 0.1)  # noqa: E731
+    wk, bk, wv, bv, wq, bq = mk(Cx, d), mk(d), mk(Cx, d), mk(d), mk(Cy, d), mk(d)
+    x_len = jnp.array([X, X - 3], jnp.int32)
+    wa = jnp.array(rng.normal(size=(B, Y, d)).astype(np.float32))
+
+    def loss_fused(y_in, y_pos, x_in, x_pos):
+        attn, probs, _ = x2y_attention(
+            y_in, y_pos, x_in, x_pos, wk, bk, wv, bv, wq, bq, x_len,
+            tile=256, interpret=True)
+        return (wa * attn).sum() + probs.sum() * 0.1
+
+    def loss_ref(y_in, y_pos, x_in, x_pos):
+        attn, probs, _ = _x2y_xla_reference(
+            y_in, y_pos, x_in, x_pos, wk, bk, wv, bv, wq, bq, x_len)
+        return (wa * attn).sum() + probs.sum() * 0.1
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(y_in, y_pos, x_in, x_pos)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(y_in, y_pos, x_in, x_pos)
+    for n, a, b in zip(["y_in", "y_pos", "x_in", "x_pos"], gf, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, atol=3e-4 * max(1.0, np.abs(b).max()),
+                                   err_msg=n)
+
+
 def test_mstcn2_stack_matches_unfused(rng):
     """MS-TCN++ pad-once fused stack == the module's unfused path."""
     from fact_clip_tpu.models.layers import MSTCN2
