@@ -20,9 +20,15 @@ def load(trace_dir, B, steps):
     ev = data["traceEvents"]
     pids = {e["pid"]: e["args"].get("name") for e in ev
             if e.get("ph") == "M" and e.get("name") == "process_name"}
+    # per-op events live on the 'XLA Ops' thread; 'Steps'/'XLA Modules' lanes
+    # carry container events that would double-count every op
+    op_tids = {(e["pid"], e["tid"]) for e in ev
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and e["args"].get("name") in ("XLA Ops", "Async XLA Ops")}
     dur = collections.Counter()
     for e in ev:
-        if e.get("ph") == "X" and "TPU" in str(pids.get(e.get("pid"), "")):
+        if (e.get("ph") == "X" and "TPU" in str(pids.get(e.get("pid"), ""))
+                and (e["pid"], e.get("tid")) in op_tids):
             name = e["name"]
             if name.startswith("jit_") or name.startswith("while"):
                 continue  # containers, not ops
