@@ -35,16 +35,24 @@ def _auction_phase(value, col_valid, price, eps, max_iters):
         return jnp.logical_and(unassigned.any(), it < max_iters)
 
     def body(carry):
+        # scatter-free body: every ownership update is a broadcast-compare +
+        # where over the small (M, S) plane.  XLA:TPU lowers scatters into
+        # latency-bound serial loops (profiled ~0.27 ms per scatter per
+        # step at production sizes — ~1 ms/step across the auction); the
+        # compare forms are single VPU passes.  (A lax.top_k-based rewrite
+        # was ALSO slower — it lowers to a sort; plain argmax + compare
+        # masking keeps everything elementwise.)
         seg_tok, tok_seg, price, it = carry
         net = valueT - price[None, :]  # (S, M)
         best_idx = jnp.argmax(net, axis=1)
-        best_val = jnp.take_along_axis(net, best_idx[:, None], axis=1)[:, 0]
-        net2 = net.at[jnp.arange(S), best_idx].set(_NEG)
+        best_val = net.max(axis=1)
+        m_ids = jnp.arange(M)
+        net2 = jnp.where(m_ids[None, :] == best_idx[:, None], _NEG, net)
         second_val = jnp.max(net2, axis=1)
         bid = price[best_idx] + best_val - second_val + eps  # (S,)
 
         bidding = (seg_tok < 0) & col_valid
-        tok_ids = jnp.arange(M)
+        tok_ids = m_ids
         bidmat = jnp.where(
             bidding[None, :] & (best_idx[None, :] == tok_ids[:, None]), bid[None, :], _NEG
         )  # (M, S)
@@ -53,13 +61,18 @@ def _auction_phase(value, col_valid, price, eps, max_iters):
         has_bid = win_val > _NEG / 2
 
         price = jnp.where(has_bid, win_val, price)
-        prev_owner = tok_seg  # (M,)
-        # dispossess previous owners of tokens that received a bid
-        seg_tok = seg_tok.at[jnp.where(has_bid & (prev_owner >= 0), prev_owner, S)].set(
-            -1, mode="drop"
-        )
-        # assign winners
-        seg_tok = seg_tok.at[jnp.where(has_bid, win_seg, S)].set(tok_ids, mode="drop")
+        s_ids = jnp.arange(S)
+        # winners: segment s won token argmax_m won[m, s] (bids are unique
+        # per token, and a bidding segment bids on exactly one token)
+        won = has_bid[:, None] & (win_seg[:, None] == s_ids[None, :])  # (M, S)
+        won_any = won.any(axis=0)
+        won_tok = jnp.argmax(won, axis=0).astype(seg_tok.dtype)
+        # dispossessed: previous owner of a token that received a bid (a
+        # winner is never simultaneously dispossessed: bidders are unassigned)
+        disp = (has_bid & (tok_seg >= 0))[:, None] & (tok_seg[:, None] == s_ids[None, :])
+        disp_any = disp.any(axis=0)
+        seg_tok = jnp.where(won_any, won_tok,
+                            jnp.where(disp_any, jnp.int32(-1), seg_tok))
         tok_seg = jnp.where(has_bid, win_seg, tok_seg)
         return seg_tok, tok_seg, price, it + 1
 
