@@ -42,7 +42,7 @@ ITER_RE = re.compile(r"^Iter(\d+)[ ,\[]")
 LOSS_RE = re.compile(r"\bloss:(\d+(?:\.\d+)?)")
 METRIC_RE = re.compile(r"([\w@.]+):(-?\d+(?:\.\d+)?)")
 
-RECIPE = """\
+_RECIPE_BASE = """\
 dataset: gtea
 split: split1
 eval_bg: false
@@ -54,7 +54,7 @@ Bi:
   a_ffdim: 48
   a_layers: 2
   a_nhead: 4
-  f: m
+  f: %(f)s
   f_dim: 32
   f_layers: 4
   f_ln: false
@@ -63,15 +63,25 @@ Bi:
 Bu: {f_layers: 3}
 Loss: {match: o2o, sw: 1.0, pc: 0.2, nullw: 0.1, bgw: 1.0}
 batch_size: 4
-optimizer: Adam
-lr: 0.001
+%(optim)s
 epoch: 50
 clip_grad_norm: 10.0
 aux: {print_every: 20, eval_every: 100, resume: '', wandb_offline: true}
 """
 
+RECIPES = {
+    # Adam, MSTCN, no LR decay — the fast CI recipe
+    "adam": _RECIPE_BASE % {"f": "m", "optim": "optimizer: Adam\nlr: 0.001\nlr_decay: -1"},
+    # SGD + momentum + the reference's mid-run LR-decay placement + MSTCN++:
+    # exercises exactly the optimizer details VERDICT r2 called "comparable,
+    # never validated" (train.py:219-221, 325-328)
+    "sgd": _RECIPE_BASE % {"f": "m2",
+                           "optim": "optimizer: SGD\nlr: 0.02\nmomentum: 0.9\nlr_decay: 25"},
+}
+RECIPE = RECIPES["adam"]
 
-def make_fixture(workdir: str, seed: int = 7):
+
+def make_fixture(workdir: str, seed: int = 7, recipe: str = "adam"):
     sys.path.insert(0, REPO)
     from fact_clip_tpu.data.synthetic import make_fixture_dataset
 
@@ -83,7 +93,7 @@ def make_fixture(workdir: str, seed: int = 7):
         class_sep=2.0, seed=seed)
     cfg_path = os.path.join(workdir, "shared.yaml")
     with open(cfg_path, "w") as f:
-        f.write(RECIPE)
+        f.write(RECIPES[recipe])
     return cfg_path
 
 
@@ -201,11 +211,12 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--workdir", default="/tmp/learning_dynamics")
     parser.add_argument("--seeds", type=int, nargs="+", default=[1, 2])
+    parser.add_argument("--recipe", choices=sorted(RECIPES), default="adam")
     parser.add_argument("--out", default=None, help="write summary JSON here")
     args = parser.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
-    cfg_path = make_fixture(args.workdir)
+    cfg_path = make_fixture(args.workdir, recipe=args.recipe)
 
     ref_runs, our_runs = [], []
     for seed in args.seeds:
