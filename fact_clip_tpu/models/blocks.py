@@ -174,7 +174,10 @@ def make_abranch(c: BlockCfg, trans: bool, name: str):
         return L.SCADecoder(
             in_dim=c.a_dim, hid_dim=c.a_dim, out_dim=c.hid_dim, frame_dim=c.hid_dim,
             num_layers=c.a_layers, nhead=c.a_nhead, ffdim=c.a_ffdim, dropout=c.dropout,
-            dtype=_jdtype(c), use_pallas=c.pallas and c.pallas_attn, name=name,
+            dtype=_jdtype(c), use_pallas=c.pallas and c.pallas_attn,
+            # memory pos is the fixed sinusoid table (FACT.__call__): its
+            # cotangent is dead, so the fused backward skips the dxk stream
+            pos_grad=False, name=name,
         )
     if c.a in ("gru", "gru_om"):
         assert trans, "GRU action branch requires transcript mode"

@@ -450,6 +450,9 @@ class MultiHeadAttention(nn.Module):
     use_pallas: bool = False
     pallas_interpret: bool = False  # tests only
     pallas_min_keys: int = 1024
+    # False declares key_pos a constant (FACT's frame PE table): the fused
+    # backward then skips the dxk stream it would only need for d(key_pos)
+    key_pos_grad: bool = True
 
     @nn.compact
     def __call__(self, query, key, value, key_mask=None, deterministic: bool = True,
@@ -492,6 +495,7 @@ class MultiHeadAttention(nn.Module):
                 _cast(q, self.dtype), xc, pos,
                 _cast(wk, self.dtype), bk, _cast(wv, self.dtype), bv, x_len,
                 num_heads=H, rate=rate, seed=seed, interpret=self.pallas_interpret,
+                pos_grad=self.key_pos_grad,
             )
             out = nn.Dense(
                 E, kernel_init=torch_linear_kernel_init, bias_init=zeros, name="out_proj"
@@ -663,6 +667,7 @@ class SCALayer(nn.Module):
     attn_dropout: float = 0.1
     dtype: Any = None
     use_pallas: bool = False
+    pos_grad: bool = True  # False: memory pos is a constant (FACT PE table)
 
     @nn.compact
     def __call__(self, tgt, memory, pos=None, query_pos=None, memory_mask=None, deterministic=True):
@@ -676,7 +681,7 @@ class SCALayer(nn.Module):
         query = add_pos(tgt, query_pos)
         tgt2 = MultiHeadAttention(
             self.action_dim, self.nhead, self.attn_dropout, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="cross_attn",
+            use_pallas=self.use_pallas, key_pos_grad=self.pos_grad, name="cross_attn",
         )(
             query, memory, memory, key_mask=memory_mask, deterministic=deterministic,
             key_pos=pos,
@@ -729,6 +734,7 @@ class SCADecoder(nn.Module):
     dropout: float = 0.1
     dtype: Any = None
     use_pallas: bool = False
+    pos_grad: bool = True
 
     @nn.compact
     def __call__(self, tgt, memory, pos=None, query_pos=None, memory_mask=None, deterministic=True):
@@ -737,7 +743,8 @@ class SCADecoder(nn.Module):
         for i in range(self.num_layers):
             out = SCALayer(
                 self.hid_dim, self.frame_dim, self.nhead, self.ffdim, self.dropout, self.dropout,
-                dtype=self.dtype, use_pallas=self.use_pallas, name=f"layer{i}",
+                dtype=self.dtype, use_pallas=self.use_pallas, pos_grad=self.pos_grad,
+                name=f"layer{i}",
             )(out, memory, pos=pos, query_pos=query_pos, memory_mask=memory_mask, deterministic=deterministic)
         out = nn.LayerNorm()(out)
         return TorchDense(self.out_dim)(out)
@@ -772,6 +779,22 @@ class _GRURecurStep(nn.Module):
         return h, h
 
 
+class _GRUCellParams(nn.Module):
+    """Parameter twin of _GRURecurStep: same scope leaves (w_hh/b_hh), but the
+    weights are consumed by BiGRU's merged two-direction scan instead of a
+    per-direction nn.scan — the checkpoint/import/export param tree is
+    unchanged."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        H = self.hidden
+        bound = 1.0 / math.sqrt(H)
+        return (self.param("w_hh", uniform_init(bound), (H, 3 * H)),
+                self.param("b_hh", uniform_init(bound), (3 * H,)))
+
+
 class BiGRU(nn.Module):
     """Multi-layer bidirectional GRU over padded sequences.
 
@@ -782,47 +805,65 @@ class BiGRU(nn.Module):
 
     The input projection (x @ W_ih) does not depend on the recurrence, so it
     runs for ALL steps in one batched MXU matmul before the scan; only the
-    h @ W_hh half stays sequential.  This halves the serial matmuls and
-    turns the W_ih weight grad into one big contraction instead of N
-    accumulated tiny ones (profiled ~1 ms/step at flagship scale).  Params:
-    ``l{i}_{fwd,bwd}_w_ih/b_ih`` at this module + ``l{i}_{fwd,bwd}/w_hh,
-    b_hh`` in the scanned step (engine/checkpoint.py migrates the old
-    ``l{i}_{dir}/cell/*`` layout).
+    h @ W_hh half stays sequential.  The two directions run in ONE scan
+    (forward direction paired with the flipped-sequence backward direction)
+    as a batch-2 recurrent matmul: the per-step work is far below MXU
+    latency, so N serial dispatches beat 2N half-sized ones — together with
+    ``unroll`` this roughly halved the seg_update (S=128) scan cost on v5e.
+    Params: ``l{i}_{fwd,bwd}_w_ih/b_ih`` at this module +
+    ``l{i}_{fwd,bwd}/w_hh, b_hh`` in a parameter-twin child scope
+    (engine/checkpoint.py migrates the old ``l{i}_{dir}/cell/*`` layout).
     """
 
     hidden: int  # per direction
     num_layers: int
     dropout: float = 0.0
+    unroll: int = 8  # lax.scan unroll: amortizes while-loop overhead
 
     @nn.compact
     def __call__(self, x, mask, deterministic=True):
         B, N, _ = x.shape
+        H = self.hidden
         m = mask.astype(x.dtype)[:, :, None]
-        bound = 1.0 / math.sqrt(self.hidden)
+        bound = 1.0 / math.sqrt(H)
 
-        scan_step = nn.scan(
-            _GRURecurStep,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=1,
-            out_axes=1,
-        )
-
-        def run_direction(inp, name, reverse):
+        def direction_gates(inp, name, reverse):
             in_dim = inp.shape[-1]
-            w_ih = self.param(f"{name}_w_ih", uniform_init(bound), (in_dim, 3 * self.hidden))
-            b_ih = self.param(f"{name}_b_ih", uniform_init(bound), (3 * self.hidden,))
+            w_ih = self.param(f"{name}_w_ih", uniform_init(bound), (in_dim, 3 * H))
+            b_ih = self.param(f"{name}_b_ih", uniform_init(bound), (3 * H,))
             gi = inp @ w_ih + b_ih  # (B, N, 3H): every step's input gates at once
-            h0 = jnp.zeros((B, self.hidden), inp.dtype)
-            gs = jnp.flip(gi, axis=1) if reverse else gi
-            ms = jnp.flip(m, axis=1) if reverse else m
-            _, ys = scan_step(self.hidden, name=name)(h0, (gs, ms))
-            return jnp.flip(ys, axis=1) if reverse else ys
+            return jnp.flip(gi, axis=1) if reverse else gi
 
         out = x
         for layer in range(self.num_layers):
-            yf = run_direction(out, f"l{layer}_fwd", reverse=False)
-            yb = run_direction(out, f"l{layer}_bwd", reverse=True)
+            gi_f = direction_gates(out, f"l{layer}_fwd", reverse=False)
+            gi_b = direction_gates(out, f"l{layer}_bwd", reverse=True)
+            w_f, b_f = _GRUCellParams(H, name=f"l{layer}_fwd")()
+            w_b, b_b = _GRUCellParams(H, name=f"l{layer}_bwd")()
+            w_st = jnp.stack([w_f, w_b])  # (2, H, 3H)
+            b_st = jnp.stack([b_f, b_b])  # (2, 3H)
+
+            # both directions in one scan: (N, B, 2, ...) xs, h is (B, 2, H)
+            gis = jnp.stack([gi_f, gi_b], axis=2).transpose(1, 0, 2, 3)
+            ms = jnp.stack([m, jnp.flip(m, axis=1)], axis=2).transpose(1, 0, 2, 3)
+
+            def step(h, inp):
+                gi_t, mt = inp  # (B, 2, 3H), (B, 2, 1)
+                # torch gate math: n = tanh(gi_n + r*(W_hn h + b_hn))
+                gh = jnp.einsum("bdh,dhg->bdg", h, w_st) + b_st[None]
+                i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
+                h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+                r = jax.nn.sigmoid(i_r + h_r)
+                z = jax.nn.sigmoid(i_z + h_z)
+                n = jnp.tanh(i_n + r * h_n)
+                h_new = (1.0 - z) * n + z * h
+                h = mt * h_new + (1.0 - mt) * h
+                return h, h
+
+            h0 = jnp.zeros((B, 2, H), out.dtype)
+            _, ys = jax.lax.scan(step, h0, (gis, ms), unroll=self.unroll)
+            yf = ys[:, :, 0].transpose(1, 0, 2)  # (B, N, H)
+            yb = jnp.flip(ys[:, :, 1].transpose(1, 0, 2), axis=1)
             out = jnp.concatenate([yf, yb], axis=-1)
             if layer != self.num_layers - 1 and self.dropout > 0:
                 out = nn.Dropout(self.dropout)(out, deterministic=deterministic)

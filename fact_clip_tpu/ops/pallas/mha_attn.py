@@ -290,14 +290,16 @@ def _mha_reference(q, x_in, x_pos_k, wk, bk, wv, bv, x_len, keep, num_heads: int
     return out.reshape(B, M, E)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
-def _mha_vjp(q, x_in, x_pos_k, wk, bk, wv, bv, xlen_seed, num_heads, rate, tile, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _mha_vjp(q, x_in, x_pos_k, wk, bk, wv, bv, xlen_seed, num_heads, rate, tile, interpret,
+             pos_grad):
     x_len, seed = xlen_seed
     return _mha_fwd_impl(q, x_in, x_pos_k, wk, bk, wv, bv, x_len, seed,
                          num_heads=num_heads, rate=rate, tile=tile, interpret=interpret)
 
 
-def _mha_fwd(q, x_in, x_pos_k, wk, bk, wv, bv, xlen_seed, num_heads, rate, tile, interpret):
+def _mha_fwd(q, x_in, x_pos_k, wk, bk, wv, bv, xlen_seed, num_heads, rate, tile, interpret,
+             pos_grad):
     x_len, seed = xlen_seed
     out, out_hm, m_row, l_row = _mha_fwd_impl(
         q, x_in, x_pos_k, wk, bk, wv, bv, x_len, seed,
@@ -309,16 +311,27 @@ def _mha_fwd(q, x_in, x_pos_k, wk, bk, wv, bv, xlen_seed, num_heads, rate, tile,
 
 def _mha_bwd_kernel(xlen_ref, seed_ref, x_ref, xpos_ref, q_ref, g_ref,
                     m_ref, l_ref, d_ref, wk_ref, bk_ref, wv_ref, bv_ref,
-                    dx_ref, dxk_ref, dq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref,
-                    dq_scr, *, num_heads: int, m8: int, rate: float,
-                    tile: int, n_t: int):
+                    *refs, num_heads: int, m8: int, rate: float,
+                    tile: int, n_t: int, pos_grad: bool):
     """Single-pass flash backward over key tiles.
 
     True probs are recovered from the saved online-softmax stats
     (p = exp(logits - m) / l); the softmax-backward row term
     D = sum_x p*dp comes in precomputed as rowsum(dout * out), which equals
     sum_x p_dropped * dp_raw, so it is exact under in-kernel dropout too.
+
+    With ``pos_grad=False`` the separate dxk stream (needed only to derive
+    the key-positional cotangent) is neither computed nor written — in FACT
+    the key positional table is a constant, and the (B, X, Cx) dxk write +
+    batch-sum read-back is pure HBM traffic (~50 MB/layer/step at flagship
+    scale).
     """
+    if pos_grad:
+        (dx_ref, dxk_ref, dq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref,
+         dq_scr) = refs
+    else:
+        dx_ref, dq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref, dq_scr = refs
+        dxk_ref = None
     b = pl.program_id(0)
     t = pl.program_id(1)
     H, M8 = num_heads, m8
@@ -381,7 +394,8 @@ def _mha_bwd_kernel(xlen_ref, seed_ref, x_ref, xpos_ref, q_ref, g_ref,
     dims = (((1,), (1,)), ((), ()))
     dxk = jax.lax.dot_general(dk, wk_ref[:], dims, preferred_element_type=jnp.float32)
     dxv = jax.lax.dot_general(dv, wv_ref[:], dims, preferred_element_type=jnp.float32)
-    dxk_ref[0, :, :] = dxk.astype(dxk_ref.dtype)
+    if dxk_ref is not None:
+        dxk_ref[0, :, :] = dxk.astype(dxk_ref.dtype)
     dx_ref[0, :, :] = (dxk + dxv).astype(dx_ref.dtype)
 
     rdims = (((0,), (0,)), ((), ()))
@@ -405,7 +419,7 @@ def _mha_bwd_kernel(xlen_ref, seed_ref, x_ref, xpos_ref, q_ref, g_ref,
         dq_ref[0, :, :] = dq_scr[...]
 
 
-def _mha_bwd(num_heads, rate, tile, interpret, res, g):
+def _mha_bwd(num_heads, rate, tile, interpret, pos_grad, res, g):
     q, x_in, x_pos_k, wk, bk, wv, bv, (x_len, seed), out_hm, m_row, l_row = res
     B, X, Cx = x_in.shape
     M, E = q.shape[1], wk.shape[1]
@@ -425,10 +439,14 @@ def _mha_bwd(num_heads, rate, tile, interpret, res, g):
     d_row = (gh * out_hm).sum(axis=-1, keepdims=True)  # = sum_x p~ dp~
 
     kernel = functools.partial(_mha_bwd_kernel, num_heads=num_heads, m8=M8,
-                               rate=rate, tile=ktile, n_t=n_t)
+                               rate=rate, tile=ktile, n_t=n_t, pos_grad=pos_grad)
     row = lambda: pl.BlockSpec((1, HM8, 1), lambda b, t: (b, 0, 0))  # noqa: E731
     wspec = lambda *s: pl.BlockSpec(s, lambda b, t: (0,) * len(s))  # noqa: E731
-    dx_p, dxk_p, dqh, dwk, dbk, dwv, dbv = pl.pallas_call(
+    dxk_specs = (
+        [pl.BlockSpec((1, ktile, Cx), lambda b, t: (b, t, 0))] if pos_grad else [])
+    dxk_shapes = (
+        [jax.ShapeDtypeStruct((B, X_pad, Cx), x_in.dtype)] if pos_grad else [])
+    outs = pl.pallas_call(
         kernel,
         grid=(B, n_t),
         in_specs=[
@@ -443,13 +461,13 @@ def _mha_bwd(num_heads, rate, tile, interpret, res, g):
         ],
         out_specs=[
             pl.BlockSpec((1, ktile, Cx), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, ktile, Cx), lambda b, t: (b, t, 0)),
+            *dxk_specs,
             pl.BlockSpec((1, HM8, E), lambda b, t: (b, 0, 0)),
             wspec(Cx, E), wspec(1, E), wspec(Cx, E), wspec(1, E),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, X_pad, Cx), x_in.dtype),
-            jax.ShapeDtypeStruct((B, X_pad, Cx), x_in.dtype),
+            *dxk_shapes,
             jax.ShapeDtypeStruct((B, HM8, E), jnp.float32),
             jax.ShapeDtypeStruct((Cx, E), jnp.float32),
             jax.ShapeDtypeStruct((1, E), jnp.float32),
@@ -459,15 +477,23 @@ def _mha_bwd(num_heads, rate, tile, interpret, res, g):
         scratch_shapes=[pltpu.VMEM((HM8, E), jnp.float32)],
         interpret=interpret,
     )(x_len, seed, x_p, pos_p, qh, gh, m_row, l_row, d_row, wk, bk, wv, bv)
+    if pos_grad:
+        dx_p, dxk_p, dqh, dwk, dbk, dwv, dbv = outs
+    else:
+        dx_p, dqh, dwk, dbk, dwv, dbv = outs
 
     scale = 1.0 / math.sqrt(hd)
     dq = (_extract_diag(dqh, num_heads, M) * scale).astype(q.dtype)
     dx = dx_p[:, :X].astype(x_in.dtype)
-    dxk = dxk_p[:, :X]
-    if x_pos_k.shape[0] == 1:
+    if not pos_grad:
+        # key positional input declared constant by the caller: its cotangent
+        # is a structural zero (DCE'd when pos really is a constant)
+        dpos = jnp.zeros(x_pos_k.shape, x_pos_k.dtype)
+    elif x_pos_k.shape[0] == 1:
+        dxk = dxk_p[:, :X]
         dpos = dxk.sum(axis=0, keepdims=True).astype(x_pos_k.dtype)
     else:
-        dpos = dxk.astype(x_pos_k.dtype)
+        dpos = dxk_p[:, :X].astype(x_pos_k.dtype)
     daux = (np.zeros(x_len.shape, jax.dtypes.float0), np.zeros(seed.shape, jax.dtypes.float0))
     return (dq, dx, dpos, dwk.astype(wk.dtype), dbk[0].astype(bk.dtype),
             dwv.astype(wv.dtype), dbv[0].astype(bv.dtype), daux)
@@ -478,7 +504,8 @@ _mha_vjp.defvjp(_mha_fwd, _mha_bwd)
 
 def mha_cross_attention(q, x_in, x_pos_k, wk, bk, wv, bv, x_len, *,
                         num_heads: int, rate: float = 0.0, seed=None,
-                        tile: int = 512, interpret: bool = False):
+                        tile: int = 512, interpret: bool = False,
+                        pos_grad: bool = True):
     """Fused multi-head cross-attention over a long key/value stream.
 
     q: (B, M, E) projected queries (bias and any query positional encoding
@@ -489,6 +516,12 @@ def mha_cross_attention(q, x_in, x_pos_k, wk, bk, wv, bv, x_len, *,
     key prefix; rate/seed: in-kernel attention dropout (rate=0 disables;
     seed is a (1,) int32 array, required when rate > 0).
 
+    pos_grad=False declares ``x_pos_k`` a constant: the backward returns a
+    zero cotangent for it and skips the dedicated dxk output stream (a
+    (B, X, Cx) HBM write + batch-sum read-back per layer).  FACT's frame
+    positional table is a fixed sinusoid (models/layers.py:112), so the
+    model path always sets False; leave True for learned key positions.
+
     Returns (B, M, E) float32: concatenated per-head attention outputs
     (the caller applies the output projection).
     """
@@ -497,4 +530,4 @@ def mha_cross_attention(q, x_in, x_pos_k, wk, bk, wv, bv, x_len, *,
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
     return _mha_vjp(q, x_in, x_pos_k, wk, bk, wv, bv, (x_len, seed),
-                    num_heads, float(rate), tile, interpret)
+                    num_heads, float(rate), tile, interpret, pos_grad)

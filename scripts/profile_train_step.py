@@ -46,6 +46,9 @@ def main():
 
     rng = np.random.default_rng(0)
     b = bench._bench_batch(rng, with_labels=True)
+    if DTYPE == "bfloat16":
+        # match bench.py / engine.train_loop: features feed at the compute dtype
+        b["feats"] = b["feats"].astype(jnp.bfloat16)
     batch = {k: jax.device_put(jnp.asarray(v)) for k, v in b.items()}
     params = jax.jit(
         lambda k: model.init(

@@ -497,6 +497,48 @@ def test_mha_cross_attention_grads_match_xla(rng):
         np.testing.assert_allclose(a, b, atol=tol, err_msg=n)
 
 
+def test_mha_pos_grad_false_skips_dpos_keeps_grads(rng):
+    """pos_grad=False: identical output, zero d(pos), other grads unchanged."""
+    from fact_clip_tpu.ops.pallas.mha_attn import _mha_reference, mha_cross_attention
+
+    B, M, X, E, Cx, H = 2, 4, 700, 128, 128, 8
+    q = jnp.array(rng.normal(size=(B, M, E)).astype(np.float32))
+    x = jnp.array(rng.normal(size=(B, X, Cx)).astype(np.float32))
+    pos = jnp.array(rng.normal(size=(1, X, Cx)).astype(np.float32))
+    wk = jnp.array(rng.normal(size=(Cx, E)).astype(np.float32) * 0.05)
+    bk = jnp.array(rng.normal(size=(E,)).astype(np.float32) * 0.05)
+    wv = jnp.array(rng.normal(size=(Cx, E)).astype(np.float32) * 0.05)
+    bv = jnp.array(rng.normal(size=(E,)).astype(np.float32) * 0.05)
+    x_len = jnp.array([X, X - 123], jnp.int32)
+    lw = jnp.array(rng.normal(size=(B, M, E)).astype(np.float32))
+
+    def loss(pos_grad, q, x, pos, wk, wv):
+        out = mha_cross_attention(q, x, pos, wk, bk, wv, bv, x_len, num_heads=H,
+                                  tile=256, interpret=True, pos_grad=pos_grad)
+        return (lw * out).sum()
+
+    def loss_ref(q, x, pos, wk, wv):
+        out = _mha_reference(q, x, pos, wk, bk, wv, bv, x_len, None, H)
+        return (lw * out).sum()
+
+    out_np = mha_cross_attention(q, x, pos, wk, bk, wv, bv, x_len, num_heads=H,
+                                 tile=256, interpret=True, pos_grad=False)
+    out_p = mha_cross_attention(q, x, pos, wk, bk, wv, bv, x_len, num_heads=H,
+                                tile=256, interpret=True, pos_grad=True)
+    np.testing.assert_array_equal(np.asarray(out_np), np.asarray(out_p))
+
+    g_np = jax.grad(loss, argnums=(1, 2, 3, 4, 5))(False, q, x, pos, wk, wv)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, x, pos, wk, wv)
+    names = ["q", "x", "pos", "wk", "wv"]
+    assert not np.any(np.asarray(g_np[2]))  # dpos is a structural zero
+    for n, a, b in zip(names, g_np, g_ref):
+        if n == "pos":
+            continue
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 3e-4 * max(1.0, np.abs(b).max())
+        np.testing.assert_allclose(a, b, atol=tol, err_msg=n)
+
+
 def test_mha_module_fused_matches_plain(rng):
     """MultiHeadAttention(use_pallas) == the XLA module path, shared params."""
     from fact_clip_tpu.models.layers import MultiHeadAttention, add_pos
