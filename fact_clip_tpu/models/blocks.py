@@ -130,16 +130,24 @@ def resolve_block_cfgs(cfg) -> Tuple[BlockCfg, ...]:
 # shared block helpers
 
 
-def process_feature(feature: jnp.ndarray, nclass: int):
+def process_feature(feature: jnp.ndarray, nclass: int, dtype=None):
     """Split trailing ``nclass`` dims as logits, re-concat their softmax.
 
     Matches Block.process_feature (blocks.py:195-202): downstream blocks see
     class probabilities as part of the feature vector.
+
+    ``dtype`` (mixed-precision only): the re-concatenated *stream* is cast to
+    the block compute dtype, so inter-block traffic and the block-boundary
+    cotangent merges run at half width; the returned logits always stay f32
+    (losses/decode/metrics consume them).
     """
-    clogit = feature[..., -nclass:]
+    clogit = feature[..., -nclass:].astype(jnp.float32)
     feat = feature[..., :-nclass]
     cprob = jax.nn.softmax(clogit, axis=-1)
-    return jnp.concatenate([feat, cprob], axis=-1), clogit
+    out = jnp.concatenate([feat, cprob], axis=-1)
+    if dtype is not None:
+        out = out.astype(dtype)
+    return out, clogit
 
 
 def _jdtype(c: BlockCfg):
@@ -226,7 +234,7 @@ class InputBlock(nn.Module):
         frame_feature = make_fbranch(c, self.in_dim, "frame_branch")(
             frame_feature, frame_mask, deterministic
         )
-        frame_feature, frame_clogit = process_feature(frame_feature, self.nclass)
+        frame_feature, frame_clogit = process_feature(frame_feature, self.nclass, _jdtype(c))
 
         abranch = make_abranch(c, self.trans, "action_branch")
         action_feature = apply_abranch(
@@ -272,7 +280,7 @@ class UpdateBlock(nn.Module):
         )
 
         frame_feature = make_fbranch(c, None, "frame_branch")(frame_feature, frame_mask, deterministic)
-        frame_feature, frame_clogit = process_feature(frame_feature, self.nclass)
+        frame_feature, frame_clogit = process_feature(frame_feature, self.nclass, _jdtype(c))
 
         saves = {
             "frame_clogit": frame_clogit,
@@ -320,7 +328,7 @@ class UpdateBlockTDU(nn.Module):
         )
         seg_feature = jax.nn.relu(seg_feature)
         seg_feature = L.TorchDense(c.hid_dim, name="seg_combine")(seg_feature)
-        seg_feature, seg_clogit = process_feature(seg_feature, self.nclass)
+        seg_feature, seg_clogit = process_feature(seg_feature, self.nclass, _jdtype(c))
 
         # segment-center positional encodings (blocks.py:454-455)
         centers = jax.vmap(lambda p: segments.segment_centers(p, S))(P)  # (B, S)
@@ -360,7 +368,7 @@ class UpdateBlockTDU(nn.Module):
             L.SplitTorchDense(c.f_dim, name="sf_merge")(s2f, frame_feature))
 
         frame_feature = make_fbranch(c, None, "frame_branch")(frame_feature, frame_mask, deterministic)
-        frame_feature, frame_clogit = process_feature(frame_feature, self.nclass)
+        frame_feature, frame_clogit = process_feature(frame_feature, self.nclass, _jdtype(c))
 
         # upsample attention maps to frame granularity (blocks.py:480-483),
         # same gather-as-matmul trick.  HIGHEST precision: these are f32

@@ -624,6 +624,10 @@ class X2YMap(nn.Module):
                       preferred_element_type=jnp.float32)
             + bo
         )
+        # mixed precision: emit the stream at the compute dtype (f32 MXU
+        # accumulation above is unchanged) so the downstream branch and this
+        # dense's backward run at half the HBM width; probs/logits stay f32
+        y_out = _cast(y_out, self.dtype)
         return y_out, probs, logits
 
 
