@@ -74,6 +74,9 @@ def make_step_fns(model, cfg, nclasses: int, cweight, clip_bundle=None, verbnoun
 
     matcher = cfg.TPU.matcher if "TPU" in cfg else "auto"
     auction_phases = int(getattr(cfg.TPU, "auction_phases", 1)) if "TPU" in cfg else 1
+    from ..models.blocks import _want_pallas
+
+    pallas_losses = _want_pallas(cfg)  # fused frame CE+smooth kernel (TPU only)
 
     def _match(saves, batch):
         last = saves[-1]
@@ -96,6 +99,7 @@ def make_step_fns(model, cfg, nclasses: int, cweight, clip_bundle=None, verbnoun
             per_video = losses.fact_loss(
                 saves, batch, seg2tok, cweight, sw, token_mask=token_mask,
                 ref_weight_order=bool(getattr(loss_cfg, "ref_weight_order", False)),
+                use_pallas=pallas_losses,
             )
         aux = {"fact_loss": per_video}
         if use_clip:

@@ -189,6 +189,47 @@ def smooth_loss(logits, pair_mask, col_mask=None, is_logit=True):
 
 
 # --------------------------------------------------------------------------
+# fused (Pallas) frame CE + smoothing path
+
+
+def frame_ce_smooth(frame_clogit, labels, frame_mask, cweight, use_pallas=False):
+    """(frame_loss, smooth_loss) on frame logits, optionally via the fused
+    single-pass Pallas kernel (ops/pallas/frame_loss.py).  Identical math:
+    the kernel returns the unnormalized sums and the normalizers here mirror
+    frame_loss / smooth_loss exactly."""
+    C = frame_clogit.shape[-1]
+    pair_mask = frame_mask[:, 1:] & frame_mask[:, :-1]
+    if use_pallas and _fl_fits(frame_clogit.shape[1], C):
+        from ..ops.pallas.frame_loss import fused_ce_smooth_sums
+
+        ce_sum, sl_sum = fused_ce_smooth_sums(
+            frame_clogit.astype(jnp.float32), labels, frame_mask, cweight)
+        m = frame_mask.astype(jnp.float32).sum(axis=1)
+        fl = ce_sum / jnp.maximum(m, 1e-12)
+        sl = sl_sum / jnp.maximum(pair_mask.sum(axis=1) * C, 1e-12)
+        return fl, sl
+    return (frame_loss(frame_clogit, labels, frame_mask, cweight),
+            smooth_loss(frame_clogit, pair_mask))
+
+
+def smooth_loss_opt(logits, frame_mask, col_mask, use_pallas=False):
+    """smooth_loss with the fused kernel when there is no column mask."""
+    pair_mask = frame_mask[:, 1:] & frame_mask[:, :-1]
+    if use_pallas and col_mask is None and _fl_fits(*logits.shape[1:]):
+        from ..ops.pallas.frame_loss import fused_smooth_sum
+
+        sl_sum = fused_smooth_sum(logits.astype(jnp.float32), frame_mask)
+        return sl_sum / jnp.maximum(pair_mask.sum(axis=1) * logits.shape[-1], 1e-12)
+    return smooth_loss(logits, pair_mask, col_mask=col_mask)
+
+
+def _fl_fits(T: int, C: int) -> bool:
+    from ..ops.pallas.frame_loss import fits
+
+    return fits(T, C)
+
+
+# --------------------------------------------------------------------------
 # per-block compositions (blocks.py:313-320, 369-382, 487-497)
 
 
@@ -207,7 +248,7 @@ def ref_order_sweight(sweight, seg2tok, seg_mask):
 
 
 def block_loss(saves: dict, batch: dict, seg2tok, cweight_arr, sw: float, token_mask=None,
-               ref_weight_order: bool = False):
+               ref_weight_order: bool = False, use_pallas: bool = False):
     """Per-video loss (B,) of one block, matching Block.compute_loss."""
     labels = batch["labels"]
     frame_mask = batch["mask"]
@@ -220,22 +261,22 @@ def block_loss(saves: dict, batch: dict, seg2tok, cweight_arr, sw: float, token_
         sweight = ref_order_sweight(sweight, seg2tok, seg_mask)
     pair_mask = frame_mask[:, 1:] & frame_mask[:, :-1]
 
-    fl = frame_loss(saves["frame_clogit"], labels, frame_mask, cweight_arr)
+    fl, sl = frame_ce_smooth(saves["frame_clogit"], labels, frame_mask, cweight_arr,
+                             use_pallas=use_pallas)
     atk = action_token_loss(saves["action_clogit"], seg2tok, transcript, seg_mask, cweight_arr)
 
     kind = saves["kind"]
     if kind == "i":
-        sl = smooth_loss(saves["frame_clogit"], pair_mask)
         return fl + atk + sw * sl
 
     if kind == "u":
         Y = _build_targets(seg_label, frame_mask, seg_mask)
         f2a = f2a_attn_loss(saves["f2a_attn_logit"], seg2tok, seg_mask, frame_mask, Y, sweight)
         a2f = a2f_attn_loss(saves["a2f_attn_logit"], seg2tok, seg_mask, Y, sweight)
-        al = smooth_loss(saves["a2f_attn_logit"], pair_mask, col_mask=token_mask)
+        al = smooth_loss_opt(saves["a2f_attn_logit"], frame_mask, token_mask,
+                             use_pallas=use_pallas)
         flog = saves["f2a_attn_logit"].transpose(0, 2, 1)  # (B, T, M)
-        fsl = smooth_loss(flog, pair_mask, col_mask=token_mask)
-        sl = smooth_loss(saves["frame_clogit"], pair_mask)
+        fsl = smooth_loss_opt(flog, frame_mask, token_mask, use_pallas=use_pallas)
         return atk + f2a + a2f + fl + sw * (al + fsl + sl)
 
     if kind == "U":
@@ -251,19 +292,18 @@ def block_loss(saves: dict, batch: dict, seg2tok, cweight_arr, sw: float, token_
         Y = Y * seg_mask[:, None, :]
         f2a = f2a_attn_loss(saves["f2a_attn_logit"], seg2tok, seg_mask, seg_valid, Y, sweight)
         a2f = a2f_attn_loss(saves["a2f_attn_logit"], seg2tok, seg_mask, Y, sweight)
-        sl = smooth_loss(saves["frame_clogit"], pair_mask)
         return (fl + seg_loss) / 2.0 + atk + f2a + a2f + sw * sl
 
     raise ValueError(kind)
 
 
 def fact_loss(saves_list, batch, seg2tok, cweight_arr, sw: float, token_mask=None,
-              ref_weight_order: bool = False):
+              ref_weight_order: bool = False, use_pallas: bool = False):
     """Mean over blocks of per-video block losses -> (B,) per-video loss
     (blocks.py:90-106)."""
     per_block = [
         block_loss(s, batch, seg2tok, cweight_arr, sw, token_mask=token_mask,
-                   ref_weight_order=ref_weight_order)
+                   ref_weight_order=ref_weight_order, use_pallas=use_pallas)
         for s in saves_list
     ]
     return sum(per_block) / len(per_block)

@@ -879,3 +879,133 @@ def test_full_model_grads_pallas_vs_xla(rng):
     cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb) + 1e-12))
     assert cos > 0.9999, cos
     np.testing.assert_allclose(va, vb, atol=5e-3 * max(1.0, np.abs(vb).max()))
+
+
+# fused frame CE + smoothing loss (ops/pallas/frame_loss.py)
+
+
+def test_fused_frame_loss_matches_xla(rng):
+    from fact_clip_tpu.models import losses
+    from fact_clip_tpu.ops.pallas.frame_loss import fused_ce_smooth_sums, fused_smooth_sum
+
+    B, T, C = 3, 100, 11
+    logits = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32) * 2.0)
+    labels = jnp.array(rng.integers(0, C, size=(B, T)), jnp.int32)
+    lengths = np.array([T, T - 17, 40])
+    mask = jnp.array(np.arange(T)[None, :] < lengths[:, None])
+    cweight = jnp.array(rng.uniform(0.5, 1.5, size=(C + 1,)).astype(np.float32))
+    pair_mask = mask[:, 1:] & mask[:, :-1]
+
+    ce_sum, sl_sum = fused_ce_smooth_sums(logits, labels, mask, cweight, interpret=True)
+    fl = ce_sum / jnp.maximum(mask.astype(jnp.float32).sum(1), 1e-12)
+    sl = sl_sum / jnp.maximum(pair_mask.sum(1) * C, 1e-12)
+    fl_ref = losses.frame_loss(logits, labels, mask, cweight)
+    sl_ref = losses.smooth_loss(logits, pair_mask)
+    np.testing.assert_allclose(np.asarray(fl), np.asarray(fl_ref), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sl), np.asarray(sl_ref), rtol=2e-5, atol=1e-6)
+
+    sl2 = fused_smooth_sum(logits, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(sl2), np.asarray(sl_sum), rtol=1e-6)
+
+
+def test_fused_frame_loss_grads_match_xla(rng):
+    from fact_clip_tpu.models import losses
+    from fact_clip_tpu.ops.pallas.frame_loss import fused_ce_smooth_sums
+
+    B, T, C = 2, 64, 7
+    # amplified logits so some adjacent diffs saturate the clip at 16
+    logits = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32) * 3.0)
+    labels = jnp.array(rng.integers(0, C, size=(B, T)), jnp.int32)
+    mask = jnp.array(np.arange(T)[None, :] < np.array([T, T - 9])[:, None])
+    cweight = jnp.array(rng.uniform(0.5, 1.5, size=(C + 1,)).astype(np.float32))
+    pair_mask = mask[:, 1:] & mask[:, :-1]
+    wce = jnp.array(rng.normal(size=(B,)).astype(np.float32))
+    wsl = jnp.array(rng.normal(size=(B,)).astype(np.float32))
+
+    def loss_fused(x):
+        ce_sum, sl_sum = fused_ce_smooth_sums(x, labels, mask, cweight, interpret=True)
+        fl = ce_sum / jnp.maximum(mask.astype(jnp.float32).sum(1), 1e-12)
+        sl = sl_sum / jnp.maximum(pair_mask.sum(1) * C, 1e-12)
+        return (wce * fl + wsl * sl).sum()
+
+    def loss_ref(x):
+        fl = losses.frame_loss(x, labels, mask, cweight)
+        sl = losses.smooth_loss(x, pair_mask)
+        return (wce * fl + wsl * sl).sum()
+
+    assert abs(float(loss_fused(logits)) - float(loss_ref(logits))) < 1e-5
+    gf = jax.grad(loss_fused)(logits)
+    gr = jax.grad(loss_ref)(logits)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-5)
+
+
+def test_fused_frame_loss_multi_tile(rng, monkeypatch):
+    """Tile-boundary pairs: force K=16 so T=100 spans 7 tiles (last partial)."""
+    from fact_clip_tpu.models import losses
+    from fact_clip_tpu.ops.pallas import frame_loss as fl_mod
+
+    monkeypatch.setattr(fl_mod, "_K_MAX", 16)
+    B, T, C = 3, 100, 11
+    logits = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32) * 3.0)
+    labels = jnp.array(rng.integers(0, C, size=(B, T)), jnp.int32)
+    lengths = np.array([T, T - 17, 40])
+    mask = jnp.array(np.arange(T)[None, :] < lengths[:, None])
+    cweight = jnp.array(rng.uniform(0.5, 1.5, size=(C + 1,)).astype(np.float32))
+    pair_mask = mask[:, 1:] & mask[:, :-1]
+    wce = jnp.array(rng.normal(size=(B,)).astype(np.float32))
+    wsl = jnp.array(rng.normal(size=(B,)).astype(np.float32))
+
+    def loss_fused(x):
+        ce_sum, sl_sum = fl_mod.fused_ce_smooth_sums(
+            x, labels, mask, cweight, interpret=True)
+        fl = ce_sum / jnp.maximum(mask.astype(jnp.float32).sum(1), 1e-12)
+        sl = sl_sum / jnp.maximum(pair_mask.sum(1) * C, 1e-12)
+        return (wce * fl + wsl * sl).sum()
+
+    def loss_ref(x):
+        fl = losses.frame_loss(x, labels, mask, cweight)
+        sl = losses.smooth_loss(x, pair_mask)
+        return (wce * fl + wsl * sl).sum()
+
+    assert abs(float(loss_fused(logits)) - float(loss_ref(logits))) < 1e-5
+    gf = jax.grad(loss_fused)(logits)
+    gr = jax.grad(loss_ref)(logits)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-5)
+
+
+def test_block_loss_fused_path_matches(rng):
+    """block_loss with use_pallas=True (interpret-patched) == plain path."""
+    from unittest import mock
+
+    from fact_clip_tpu.models import losses
+    from fact_clip_tpu.ops.pallas import frame_loss as fl_mod
+
+    B, T, C, S, M = 2, 80, 6, 5, 8
+    logits = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+    labels = jnp.array(rng.integers(0, C, size=(B, T)), jnp.int32)
+    mask = jnp.array(np.arange(T)[None, :] < np.array([T, T - 13])[:, None])
+    batch = dict(
+        labels=labels, mask=mask,
+        seg_label=jnp.array(rng.integers(0, S, size=(B, T)), jnp.int32),
+        transcript=jnp.array(rng.integers(0, C, size=(B, S)), jnp.int32),
+        seg_mask=jnp.ones((B, S), bool),
+    )
+    saves = {
+        "kind": "u",
+        "frame_clogit": logits,
+        "action_clogit": jnp.array(rng.normal(size=(B, M, C + 1)).astype(np.float32)),
+        "f2a_attn_logit": jnp.array(rng.normal(size=(B, M, T)).astype(np.float32)),
+        "a2f_attn_logit": jnp.array(rng.normal(size=(B, T, M)).astype(np.float32)),
+    }
+    seg2tok = jnp.array(rng.integers(0, M, size=(B, S)), jnp.int32)
+    cw = jnp.ones((C + 1,), jnp.float32)
+
+    plain = losses.block_loss(saves, batch, seg2tok, cw, 0.3, use_pallas=False)
+
+    orig_ce, orig_sm = fl_mod.fused_ce_smooth_sums, fl_mod.fused_smooth_sum
+    with mock.patch.object(fl_mod, "fused_ce_smooth_sums",
+                           lambda *a, **k: orig_ce(*a, **{**k, "interpret": True})), \
+         mock.patch.object(fl_mod, "fused_smooth_sum",
+                           lambda *a, **k: orig_sm(*a, **{**k, "interpret": True})):
+        fused = losses.block_loss(saves, batch, seg2tok, cw, 0.3, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain), rtol=2e-5, atol=1e-6)
