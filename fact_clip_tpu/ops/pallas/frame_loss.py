@@ -12,10 +12,11 @@ time axis is TILED: the grid is (B, ceil(T / K)) and each program holds one
 panels blow the 16 MB scoped-vmem limit beyond T~3k — and the compiler's
 liveness there is shape-dependent, so tiling is the only robust form).  The
 adjacent-pair smoothing term needs one row across each tile boundary; the
-kernel reads the neighbouring tile through a second (clamped) BlockSpec on
-the same array and recomputes that single row's log-softmax (8 rows of VPU
-work — far cheaper than a halo layout).  Per-video sums accumulate across
-the sequential inner grid dimension into a revisited output block.
+caller passes precomputed strided boundary-row arrays (one (1, C128) row per
+tile — reading whole neighbor tiles instead measured 3x the HBM traffic) and
+the kernel recomputes those rows' log-softmax in-register.  Per-video sums
+accumulate across the sequential inner grid dimension into a revisited
+output block.
 
 The backward is a second tiled pass that recomputes log-softmax and writes
 dlogits directly (CE term + smoothing pair terms + softmax correction),
@@ -61,10 +62,10 @@ def _ls_valid(x, lmask):
     return jnp.where(lmask, ls, 0.0)
 
 
-def _ls_row(x8, n_classes, row):
-    """log-softmax of one boundary row, computed on an aligned 8-row slice."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, x8.shape[1]), 1)
-    return _ls_valid(x8.astype(jnp.float32), lane < n_classes)[row:row + 1]
+def _ls_row(x1, n_classes):
+    """log-softmax of one boundary row (1, Cp)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, x1.shape[1]), 1)
+    return _ls_valid(x1.astype(jnp.float32), lane < n_classes)
 
 
 def _fwd_kernel(x_ref, xn_ref, lab_ref, mk_ref, mkn_ref, cw_ref,
@@ -90,12 +91,14 @@ def _fwd_kernel(x_ref, xn_ref, lab_ref, mk_ref, mkn_ref, cw_ref,
         ce_ref[0] += jnp.broadcast_to((ce_t * w_t * mk).sum(), (8, 128))
 
     # adjacent-pair truncated squared diff: row t carries pair (t, t+1); the
-    # tile's last pair reads the next tile's first row (clamped BlockSpec —
-    # the garbage it yields on the final tile is zeroed by the row guard)
-    ls_n0 = _ls_row(xn_ref[0, 0:8], n_classes, 0)
+    # tile's last pair reads the next tile's first row from the precomputed
+    # strided boundary array (one row per tile, not a whole neighbor tile —
+    # keeps HBM traffic at ~1x the panel; final tile's row is garbage, zeroed
+    # by the row guard)
+    ls_n0 = _ls_row(xn_ref[0, pl.ds(i, 1)], n_classes)
     last = lrow == K - 1
     nxt = jnp.where(last, ls_n0, pltpu.roll(ls, K - 1, 0))
-    mk_n = jnp.where(last, mkn_ref[0, 0:1], pltpu.roll(mk, K - 1, 0))
+    mk_n = jnp.where(last, mkn_ref[0, pl.ds(i, 1)], pltpu.roll(mk, K - 1, 0))
     pm = mk * mk_n * (row < n_rows - 1).astype(jnp.float32)
     d = jnp.clip((nxt - ls) ** 2, 0.0, 16.0)
     sl_ref[0] += jnp.broadcast_to((d * pm).sum(), (8, 128))
@@ -118,18 +121,19 @@ def _bwd_kernel(x_ref, xp_ref, xn_ref, lab_ref, mk_ref, mkp_ref, mkn_ref,
     # pair r = (r, r+1), row r carrying d/dls of clip((ls[r+1]-ls[r])^2, 16):
     # +2g*diff onto ls[r+1], -2g*diff onto ls[r].  In-tile pairs roll; the
     # last pair reads the next tile's first row, the incoming pair (r0-1)
-    # reads the previous tile's last row (both clamped + guard-masked).
-    ls_n0 = _ls_row(xn_ref[0, 0:8], n_classes, 0)
+    # reads the previous tile's last row — both from the precomputed strided
+    # boundary arrays (guard-masked garbage on the first/final tile).
+    ls_n0 = _ls_row(xn_ref[0, pl.ds(i, 1)], n_classes)
     last = lrow == K - 1
     nxt = jnp.where(last, ls_n0, pltpu.roll(ls, K - 1, 0))
-    mk_n = jnp.where(last, mkn_ref[0, 0:1], pltpu.roll(mk, K - 1, 0))
+    mk_n = jnp.where(last, mkn_ref[0, pl.ds(i, 1)], pltpu.roll(mk, K - 1, 0))
     pm = mk * mk_n * (row < n_rows - 1).astype(jnp.float32)
     diff = nxt - ls
     g_pair = jnp.where(diff * diff <= 16.0, (2.0 * gsl) * diff * pm, 0.0)
 
-    ls_p = _ls_row(xp_ref[0, K - 8:K], n_classes, 7)
+    ls_p = _ls_row(xp_ref[0, pl.ds(i, 1)], n_classes)
     diff_p = ls[0:1] - ls_p
-    pm_p = (mk[0:1] * mkp_ref[0, K - 1:K]
+    pm_p = (mk[0:1] * mkp_ref[0, pl.ds(i, 1)]
             * jnp.where(i * K - 1 >= 0, 1.0, 0.0))
     g_prev = jnp.where(diff_p * diff_p <= 16.0, (2.0 * gsl) * diff_p * pm_p, 0.0)
 
@@ -159,11 +163,18 @@ def _pad_inputs(x, labels, maskf, cweight):
     return xp, lab, mk, cw, K, nT, Tp, Cp
 
 
-def _x_specs(K, Cp, nT):
-    """(this-tile, next-tile, prev-tile) specs over the padded logits."""
-    return (pl.BlockSpec((1, K, Cp), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, K, Cp), lambda b, i: (b, jnp.minimum(i + 1, nT - 1), 0)),
-            pl.BlockSpec((1, K, Cp), lambda b, i: (b, jnp.maximum(i - 1, 0), 0)))
+def _boundary_next(arr, K, nT):
+    """(B, nT, ...) where row i = arr[:, (i+1)*K] (first row of tile i+1);
+    the final tile's row is garbage (row guard zeroes its pair)."""
+    nxt = arr[:, K::K]
+    return jnp.pad(nxt, ((0, 0), (0, nT - nxt.shape[1])) + ((0, 0),) * (arr.ndim - 2))
+
+
+def _boundary_prev(arr, K, nT):
+    """(B, nT, ...) where row i = arr[:, i*K - 1] (last row of tile i-1);
+    row 0 is garbage (the i>0 guard zeroes its pair)."""
+    prv = arr[:, K - 1::K][:, :nT - 1]
+    return jnp.pad(prv, ((0, 0), (1, nT - 1 - prv.shape[1])) + ((0, 0),) * (arr.ndim - 2))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -175,23 +186,22 @@ def _fwd_impl(x, aux, n_classes, with_ce, interpret):
     labels, maskf, cweight = aux
     B, T, C = x.shape
     xp, lab, mk, cw, K, nT, Tp, Cp = _pad_inputs(x, labels, maskf, cweight)
-    x_spec, xn_spec, _ = _x_specs(K, Cp, nT)
-    m_spec = pl.BlockSpec((1, K, 1), lambda b, i: (b, i, 0))
-    mn_spec = pl.BlockSpec((1, K, 1), lambda b, i: (b, jnp.minimum(i + 1, nT - 1), 0))
     kernel = functools.partial(_fwd_kernel, n_classes=C, n_rows=T, with_ce=with_ce)
+    row_spec = pl.BlockSpec((1, nT, Cp), lambda b, i: (b, 0, 0))
+    col_spec = pl.BlockSpec((1, nT, 1), lambda b, i: (b, 0, 0))
     ce, sl = pl.pallas_call(
         kernel,
         grid=(B, nT),
-        in_specs=[x_spec, xn_spec,
+        in_specs=[pl.BlockSpec((1, K, Cp), lambda b, i: (b, i, 0)), row_spec,
                   pl.BlockSpec((1, K, 1), lambda b, i: (b, i, 0)),
-                  m_spec, mn_spec,
+                  pl.BlockSpec((1, K, 1), lambda b, i: (b, i, 0)), col_spec,
                   pl.BlockSpec((1, 1, Cp), lambda b, i: (0, 0, 0))],
         out_specs=[pl.BlockSpec((1, 8, 128), lambda b, i: (b, 0, 0)),
                    pl.BlockSpec((1, 8, 128), lambda b, i: (b, 0, 0))],
         out_shape=[jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
                    jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)],
         interpret=interpret,
-    )(xp, xp, lab, mk, mk, cw)
+    )(xp, _boundary_next(xp, K, nT), lab, mk, _boundary_next(mk, K, nT), cw)
     return ce[:, 0, 0], sl[:, 0, 0]
 
 
@@ -205,24 +215,25 @@ def _loss_bwd(n_classes, with_ce, interpret, res, g):
     gce, gsl = g
     B, T, C = x.shape
     xp, lab, mk, cw, K, nT, Tp, Cp = _pad_inputs(x, labels, maskf, cweight)
-    x_spec, xn_spec, xp_spec = _x_specs(K, Cp, nT)
-    mn_spec = pl.BlockSpec((1, K, 1), lambda b, i: (b, jnp.minimum(i + 1, nT - 1), 0))
-    mp_spec = pl.BlockSpec((1, K, 1), lambda b, i: (b, jnp.maximum(i - 1, 0), 0))
     kernel = functools.partial(_bwd_kernel, n_classes=C, n_rows=T, with_ce=with_ce)
+    row_spec = pl.BlockSpec((1, nT, Cp), lambda b, i: (b, 0, 0))
+    col_spec = pl.BlockSpec((1, nT, 1), lambda b, i: (b, 0, 0))
     dx = pl.pallas_call(
         kernel,
         grid=(B, nT),
-        in_specs=[x_spec, xp_spec, xn_spec,
+        in_specs=[pl.BlockSpec((1, K, Cp), lambda b, i: (b, i, 0)),
+                  row_spec, row_spec,
                   pl.BlockSpec((1, K, 1), lambda b, i: (b, i, 0)),
                   pl.BlockSpec((1, K, 1), lambda b, i: (b, i, 0)),
-                  mp_spec, mn_spec,
+                  col_spec, col_spec,
                   pl.BlockSpec((1, 1, Cp), lambda b, i: (0, 0, 0)),
                   pl.BlockSpec((1, 8, 128), lambda b, i: (b, 0, 0)),
                   pl.BlockSpec((1, 8, 128), lambda b, i: (b, 0, 0))],
         out_specs=pl.BlockSpec((1, K, Cp), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Tp, Cp), x.dtype),
         interpret=interpret,
-    )(xp, xp, xp, lab, mk, mk, mk, cw,
+    )(xp, _boundary_prev(xp, K, nT), _boundary_next(xp, K, nT), lab, mk,
+      _boundary_prev(mk, K, nT), _boundary_next(mk, K, nT), cw,
       jnp.broadcast_to(gce.astype(jnp.float32)[:, None, None], (B, 8, 128)),
       jnp.broadcast_to(gsl.astype(jnp.float32)[:, None, None], (B, 8, 128)))
     daux = tuple(np.zeros(a.shape, jax.dtypes.float0) if jnp.issubdtype(a.dtype, jnp.integer)
