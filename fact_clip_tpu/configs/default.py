@@ -177,6 +177,7 @@ TPU.num_data_shards = -1  # -1 -> all visible devices on the data axis
 TPU.num_seq_shards = 1  # time-axis shards for very long videos
 TPU.pallas = True  # use Pallas kernels for the hot ops when available
 TPU.pallas_attn = True  # fused SCA multi-head attention kernel (needs TPU.pallas)
+TPU.pallas_sa = True  # fused SA/FFN action-token sublayer kernels (needs TPU.pallas)
 TPU.prefetch = 2  # host pipeline prefetch depth
 TPU.cache_features = True  # false -> stream features per batch (native parallel loader)
 TPU.profile_dir = ""  # non-empty -> capture a jax.profiler trace there

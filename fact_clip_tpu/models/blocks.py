@@ -57,14 +57,16 @@ class BlockCfg:
     s_layers: int = 1
     pallas: bool = False
     pallas_attn: bool = True
+    pallas_sa: bool = True
     dtype: str = ""  # "" = float32; "bfloat16" = mixed precision (layers.py policy)
 
 
 def _block_cfg_from(node, kind: str, pallas: bool = False, dtype: str = "",
-                    pallas_attn: bool = True) -> BlockCfg:
+                    pallas_attn: bool = True, pallas_sa: bool = True) -> BlockCfg:
     return BlockCfg(
         pallas=pallas,
         pallas_attn=pallas_attn,
+        pallas_sa=pallas_sa,
         dtype=dtype,
         kind=kind,
         hid_dim=node.hid_dim,
@@ -108,19 +110,20 @@ def resolve_block_cfgs(cfg) -> Tuple[BlockCfg, ...]:
     pallas = _want_pallas(cfg)
     dtype = _compute_dtype(cfg)
     pattn = bool(getattr(cfg.TPU, "pallas_attn", True)) if "TPU" in cfg else True
+    psa = bool(getattr(cfg.TPU, "pallas_sa", True)) if "TPU" in cfg else True
     base = cfg.Bi
     out = []
     for t in cfg.FACT.block:
         if t in ("i", "I"):
-            out.append(_block_cfg_from(cfg.Bi, t, pallas, dtype, pattn))
+            out.append(_block_cfg_from(cfg.Bi, t, pallas, dtype, pattn, psa))
         elif t == "u":
             update_from(cfg.Bu, base, inplace=True)
             base = cfg.Bu
-            out.append(_block_cfg_from(cfg.Bu, t, pallas, dtype, pattn))
+            out.append(_block_cfg_from(cfg.Bu, t, pallas, dtype, pattn, psa))
         elif t == "U":
             update_from(cfg.BU, base, inplace=True)
             base = cfg.BU
-            out.append(_block_cfg_from(cfg.BU, t, pallas, dtype, pattn))
+            out.append(_block_cfg_from(cfg.BU, t, pallas, dtype, pattn, psa))
         else:
             raise ValueError(f"Unknown block type {t!r}")
     return tuple(out)
@@ -176,13 +179,15 @@ def make_abranch(c: BlockCfg, trans: bool, name: str):
     if c.a == "sa":
         return L.SADecoder(
             in_dim=c.a_dim, hid_dim=c.a_dim, out_dim=c.hid_dim, num_layers=c.a_layers,
-            nhead=c.a_nhead, ffdim=c.a_ffdim, dropout=c.dropout, dtype=_jdtype(c), name=name,
+            nhead=c.a_nhead, ffdim=c.a_ffdim, dropout=c.dropout, dtype=_jdtype(c),
+            use_pallas_sa=c.pallas and c.pallas_sa, name=name,
         )
     if c.a == "sca":
         return L.SCADecoder(
             in_dim=c.a_dim, hid_dim=c.a_dim, out_dim=c.hid_dim, frame_dim=c.hid_dim,
             num_layers=c.a_layers, nhead=c.a_nhead, ffdim=c.a_ffdim, dropout=c.dropout,
             dtype=_jdtype(c), use_pallas=c.pallas and c.pallas_attn,
+            use_pallas_sa=c.pallas and c.pallas_sa,
             # memory pos is the fixed sinusoid table (FACT.__call__): its
             # cotangent is dead, so the fused backward skips the dxk stream
             pos_grad=False, name=name,

@@ -421,12 +421,51 @@ class _DenseParams(nn.Module):
     weights are consumed by a fused kernel instead of being applied here."""
 
     features: int
+    kernel_init: Any = None  # None -> xavier uniform (nn.Dense default here)
 
     @nn.compact
     def __call__(self, in_dim: int):
-        kernel = self.param("kernel", nn.initializers.xavier_uniform(), (in_dim, self.features))
+        init = self.kernel_init or nn.initializers.xavier_uniform()
+        kernel = self.param("kernel", init, (in_dim, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return kernel, bias
+
+
+class _LNParams(nn.Module):
+    """Parameter twin of nn.LayerNorm (scale/bias leaves) for fused kernels."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        scale = self.param("scale", nn.initializers.ones, (dim,))
+        bias = self.param("bias", nn.initializers.zeros, (dim,))
+        return scale, bias
+
+
+class _MHAParams(nn.Module):
+    """Parameter twin of MultiHeadAttention for the fused self-attention
+    sublayer kernel (same scope leaves: {q,k,v,out}_proj/{kernel,bias})."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self):
+        E = self.embed_dim
+        wq, bq = _DenseParams(E, name="q_proj")(E)
+        wk, bk = _DenseParams(E, name="k_proj")(E)
+        wv, bv = _DenseParams(E, name="v_proj")(E)
+        wo, bo = _DenseParams(E, kernel_init=torch_linear_kernel_init, name="out_proj")(E)
+        return wq, bq, wk, bk, wv, bv, wo, bo
+
+
+class _TorchDenseTwin(nn.Module):
+    """Parameter twin of TorchDense (TorchDense_i/Dense_0/{kernel,bias})."""
+
+    features: int
+    in_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return _TorchDenseParams(self.features, self.in_dim, name="Dense_0")()
 
 
 class MultiHeadAttention(nn.Module):
@@ -631,8 +670,32 @@ class X2YMap(nn.Module):
         return y_out, probs, logits
 
 
+def _dropout_seed(mod: nn.Module, needed: bool):
+    """(1,)-int32 seed for an in-kernel dropout PRNG, or None when inert."""
+    if not needed:
+        return None
+    return jax.random.randint(
+        mod.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+    )
+
+
+def _fused_pos(query_pos, x, E):
+    B, M, _ = x.shape
+    if query_pos is None:
+        return jnp.zeros((B, M, E), jnp.float32)
+    return jnp.broadcast_to(_poslike(query_pos, x).astype(jnp.float32), (B, M, E))
+
+
 class SALayer(nn.Module):
-    """Post-norm transformer layer: MHA + FFN (basic.py:391-452)."""
+    """Post-norm transformer layer: MHA + FFN (basic.py:391-452).
+
+    With ``use_pallas_sa`` and a pure self-attention call pattern
+    (key is tgt is value, shared pos, no mask — the SADecoder layout), the
+    whole layer runs as two fused Pallas sublayer kernels
+    (ops/pallas/sa_layer.py) — one video per grid step, all projections +
+    softmax + dropout + residual + LayerNorm in VMEM.  Parameter tree is
+    identical to the XLA path (twin modules), so checkpoints interop.
+    """
 
     q_dim: int
     nhead: int
@@ -640,9 +703,45 @@ class SALayer(nn.Module):
     dropout: float = 0.1
     attn_dropout: float = 0.1
     dtype: Any = None
+    use_pallas_sa: bool = False
+    pallas_interpret: bool = False  # tests only
 
     @nn.compact
     def __call__(self, tgt, key, value, query_pos=None, key_pos=None, key_mask=None, deterministic=True):
+        fuse = (
+            self.use_pallas_sa
+            and key is tgt
+            and value is tgt
+            and key_pos is query_pos
+            and key_mask is None
+            and self.q_dim % self.nhead == 0
+        )
+        if fuse:
+            from ..ops.pallas.sa_layer import ffn_sublayer, sa_sublayer
+
+            E, F = self.q_dim, self.dim_feedforward
+            wq, bq, wk, bk, wv, bv, wo, bo = _MHAParams(E, name="MultiHeadAttention_0")()
+            ls0, lb0 = _LNParams(name="LayerNorm_0")(E)
+            w1, b1 = _TorchDenseTwin(F, E, name="TorchDense_0")()
+            w2, b2 = _TorchDenseTwin(E, F, name="TorchDense_1")()
+            ls1, lb1 = _LNParams(name="LayerNorm_1")(E)
+
+            rate = 0.0 if deterministic else float(self.dropout)
+            rate_attn = 0.0 if deterministic else float(self.attn_dropout)
+            x = tgt.astype(jnp.float32)
+            bf16 = self.dtype == jnp.bfloat16
+            y = sa_sublayer(
+                x, _fused_pos(query_pos, x, E), wq, bq, wk, bk, wv, bv, wo, bo,
+                ls0, lb0, num_heads=self.nhead, rate_attn=rate_attn, rate=rate,
+                seed=_dropout_seed(self, rate > 0.0 or rate_attn > 0.0),
+                bf16=bf16, interpret=self.pallas_interpret,
+            )
+            return ffn_sublayer(
+                y, w1, b1, w2, b2, ls1, lb1, rate=rate,
+                seed=_dropout_seed(self, rate > 0.0),
+                bf16=bf16, interpret=self.pallas_interpret,
+            )
+
         query = add_pos(tgt, query_pos)
         key = add_pos(key, key_pos)
         tgt2 = MultiHeadAttention(self.q_dim, self.nhead, self.attn_dropout, dtype=self.dtype)(
@@ -661,7 +760,13 @@ class SALayer(nn.Module):
 
 class SCALayer(nn.Module):
     """Self-attention over tokens + cross-attention to frame memory + FFN
-    (basic.py:454-523)."""
+    (basic.py:454-523).
+
+    ``use_pallas_sa`` fuses the token self-attention and FFN sublayers into
+    per-video Pallas kernels (ops/pallas/sa_layer.py); the cross-attention
+    keeps its own fused flash path (``use_pallas``).  Parameter tree matches
+    the XLA path exactly (twin modules + pinned LayerNorm auto-names).
+    """
 
     action_dim: int
     frame_dim: int
@@ -671,16 +776,36 @@ class SCALayer(nn.Module):
     attn_dropout: float = 0.1
     dtype: Any = None
     use_pallas: bool = False
+    use_pallas_sa: bool = False
+    pallas_interpret: bool = False  # tests only
     pos_grad: bool = True  # False: memory pos is a constant (FACT PE table)
 
     @nn.compact
     def __call__(self, tgt, memory, pos=None, query_pos=None, memory_mask=None, deterministic=True):
-        q = add_pos(tgt, query_pos)
-        tgt2 = MultiHeadAttention(self.action_dim, self.nhead, self.attn_dropout, dtype=self.dtype, name="self_attn")(
-            q, q, tgt, deterministic=deterministic
-        )
-        tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
-        tgt = nn.LayerNorm()(tgt)
+        fuse = self.use_pallas_sa and self.action_dim % self.nhead == 0
+        E, F = self.action_dim, self.dim_feedforward
+        bf16 = self.dtype == jnp.bfloat16
+        rate = 0.0 if deterministic else float(self.dropout)
+        rate_attn = 0.0 if deterministic else float(self.attn_dropout)
+        if fuse:
+            from ..ops.pallas.sa_layer import ffn_sublayer, sa_sublayer
+
+            wq, bq, wk, bk, wv, bv, wo, bo = _MHAParams(E, name="self_attn")()
+            ls0, lb0 = _LNParams(name="LayerNorm_0")(E)
+            x = tgt.astype(jnp.float32)
+            tgt = sa_sublayer(
+                x, _fused_pos(query_pos, x, E), wq, bq, wk, bk, wv, bv, wo, bo,
+                ls0, lb0, num_heads=self.nhead, rate_attn=rate_attn, rate=rate,
+                seed=_dropout_seed(self, rate > 0.0 or rate_attn > 0.0),
+                bf16=bf16, interpret=self.pallas_interpret,
+            )
+        else:
+            q = add_pos(tgt, query_pos)
+            tgt2 = MultiHeadAttention(self.action_dim, self.nhead, self.attn_dropout, dtype=self.dtype, name="self_attn")(
+                q, q, tgt, deterministic=deterministic
+            )
+            tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
+            tgt = nn.LayerNorm(name="LayerNorm_0")(tgt)
 
         query = add_pos(tgt, query_pos)
         tgt2 = MultiHeadAttention(
@@ -691,13 +816,23 @@ class SCALayer(nn.Module):
             key_pos=pos,
         )
         tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
-        tgt = nn.LayerNorm()(tgt)
+        tgt = nn.LayerNorm(name="LayerNorm_1")(tgt)
+
+        if fuse:
+            w1, b1 = _TorchDenseTwin(F, E, name="TorchDense_0")()
+            w2, b2 = _TorchDenseTwin(E, F, name="TorchDense_1")()
+            ls2, lb2 = _LNParams(name="LayerNorm_2")(E)
+            return ffn_sublayer(
+                tgt.astype(jnp.float32), w1, b1, w2, b2, ls2, lb2, rate=rate,
+                seed=_dropout_seed(self, rate > 0.0),
+                bf16=bf16, interpret=self.pallas_interpret,
+            )
 
         ff = TorchDense(self.dim_feedforward, dtype=self.dtype)(tgt)
         ff = nn.Dropout(self.dropout)(jax.nn.relu(ff), deterministic=deterministic)
         tgt2 = TorchDense(self.action_dim)(ff.astype(jnp.float32))
         tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
-        tgt = nn.LayerNorm()(tgt)
+        tgt = nn.LayerNorm(name="LayerNorm_2")(tgt)
         return tgt
 
 
@@ -712,6 +847,8 @@ class SADecoder(nn.Module):
     ffdim: int
     dropout: float = 0.1
     dtype: Any = None
+    use_pallas_sa: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, tgt, pos=None, deterministic=True):
@@ -720,7 +857,8 @@ class SADecoder(nn.Module):
         for i in range(self.num_layers):
             out = SALayer(
                 self.hid_dim, self.nhead, self.ffdim, self.dropout, self.dropout,
-                dtype=self.dtype, name=f"layer{i}"
+                dtype=self.dtype, use_pallas_sa=self.use_pallas_sa,
+                pallas_interpret=self.pallas_interpret, name=f"layer{i}"
             )(out, out, out, query_pos=pos, key_pos=pos, deterministic=deterministic)
         return TorchDense(self.out_dim)(out)
 
@@ -738,6 +876,8 @@ class SCADecoder(nn.Module):
     dropout: float = 0.1
     dtype: Any = None
     use_pallas: bool = False
+    use_pallas_sa: bool = False
+    pallas_interpret: bool = False
     pos_grad: bool = True
 
     @nn.compact
@@ -747,7 +887,8 @@ class SCADecoder(nn.Module):
         for i in range(self.num_layers):
             out = SCALayer(
                 self.hid_dim, self.frame_dim, self.nhead, self.ffdim, self.dropout, self.dropout,
-                dtype=self.dtype, use_pallas=self.use_pallas, pos_grad=self.pos_grad,
+                dtype=self.dtype, use_pallas=self.use_pallas, use_pallas_sa=self.use_pallas_sa,
+                pallas_interpret=self.pallas_interpret, pos_grad=self.pos_grad,
                 name=f"layer{i}",
             )(out, memory, pos=pos, query_pos=query_pos, memory_mask=memory_mask, deterministic=deterministic)
         out = nn.LayerNorm()(out)

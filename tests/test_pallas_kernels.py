@@ -821,6 +821,7 @@ def test_full_model_grads_pallas_vs_xla(rng):
     from fact_clip_tpu.models.blocks import build_fact
     from fact_clip_tpu.ops.pallas import dilated_conv as dc
     from fact_clip_tpu.ops.pallas import mha_attn as mha
+    from fact_clip_tpu.ops.pallas import sa_layer as sal
     from fact_clip_tpu.ops.pallas import x2y_attn as x2y
 
     from test_model import make_batch, small_cfg
@@ -868,7 +869,9 @@ def test_full_model_grads_pallas_vs_xla(rng):
          mock.patch.object(dc, "dilated_residual_stack", interp(dc.dilated_residual_stack, tile=32)), \
          mock.patch.object(dc, "dilated_residual2_stack", interp(dc.dilated_residual2_stack, tile=32)), \
          mock.patch.object(mha, "mha_cross_attention", interp(mha.mha_cross_attention, tile=256)), \
-         mock.patch.object(x2y, "x2y_attention", interp(x2y.x2y_attention, tile=256)):
+         mock.patch.object(x2y, "x2y_attention", interp(x2y.x2y_attention, tile=256)), \
+         mock.patch.object(sal, "sa_sublayer", interp(sal.sa_sublayer)), \
+         mock.patch.object(sal, "ffn_sublayer", interp(sal.ffn_sublayer)):
         model_p = build_fact(cfgp, 12, C, s_pred_cap=24)  # re-resolve block cfgs
         l_pallas, g_pallas = jax.value_and_grad(lambda p: loss_for(model_p, p))(params)
 
@@ -1009,3 +1012,122 @@ def test_block_loss_fused_path_matches(rng):
                            lambda *a, **k: orig_sm(*a, **{**k, "interpret": True})):
         fused = losses.block_loss(saves, batch, seg2tok, cw, 0.3, use_pallas=True)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(plain), rtol=2e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# fused SA/FFN action-branch sublayer kernels (ops/pallas/sa_layer.py).
+# Dropout uses the in-kernel PRNG (no CPU interpret rule), so these run
+# deterministic; dropout mode is hardware-verified by
+# scripts/verify_sa_layer.py.
+# ---------------------------------------------------------------------------
+
+
+def _sa_layer_pair(E, H, F, dtype=None):
+    from fact_clip_tpu.models.layers import SALayer
+
+    plain = SALayer(E, H, F, dropout=0.3, attn_dropout=0.2, dtype=dtype)
+    fused = SALayer(E, H, F, dropout=0.3, attn_dropout=0.2, dtype=dtype,
+                    use_pallas_sa=True, pallas_interpret=True)
+    return plain, fused
+
+
+def test_sa_layer_fused_matches_plain(rng):
+    """SALayer(use_pallas_sa) == the XLA path with shared params, and the
+    fused path initializes an identical parameter tree."""
+    B, M, E, H, F = 3, 11, 128, 8, 96
+    x = jnp.array(rng.normal(size=(B, M, E)).astype(np.float32))
+    pos = jnp.array(rng.normal(size=(M, E)).astype(np.float32))
+    plain, fused = _sa_layer_pair(E, H, F)
+
+    params = plain.init(jax.random.PRNGKey(0), x, x, x, query_pos=pos, key_pos=pos)
+    params_f = fused.init(jax.random.PRNGKey(0), x, x, x, query_pos=pos, key_pos=pos)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_f)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params_f)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+    y_plain = plain.apply(params, x, x, x, query_pos=pos, key_pos=pos)
+    y_fused = fused.apply(params, x, x, x, query_pos=pos, key_pos=pos)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_plain),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sa_layer_fused_grads_match(rng):
+    B, M, E, H, F = 2, 9, 64, 4, 48
+    x = jnp.array(rng.normal(size=(B, M, E)).astype(np.float32))
+    pos = jnp.array(rng.normal(size=(M, E)).astype(np.float32))
+    plain, fused = _sa_layer_pair(E, H, F)
+    params = plain.init(jax.random.PRNGKey(1), x, x, x, query_pos=pos, key_pos=pos)
+
+    def loss(mod):
+        def f(p, xx):
+            y = mod.apply(p, xx, xx, xx, query_pos=pos, key_pos=pos)
+            return (y * jnp.cos(y)).sum()
+        return f
+
+    gp, gx = jax.grad(loss(plain), argnums=(0, 1))(params, x)
+    gfp, gfx = jax.grad(loss(fused), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(_grad_vec(gfx), _grad_vec(gx), rtol=5e-4, atol=5e-5)
+    ref = _grad_vec(gp)
+    got = _grad_vec(gfp)
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4 * np.abs(ref).max())
+
+
+def test_sca_layer_fused_matches_plain(rng):
+    """SCALayer(use_pallas_sa): fused self-attn + FFN sublayers around the
+    unchanged cross-attention; identical tree, equal outputs and grads."""
+    from fact_clip_tpu.models.layers import SCALayer
+
+    B, M, T, E, H, F = 2, 10, 37, 64, 4, 80
+    tgt = jnp.array(rng.normal(size=(B, M, E)).astype(np.float32))
+    mem = jnp.array(rng.normal(size=(B, T, E)).astype(np.float32))
+    qpos = jnp.array(rng.normal(size=(M, E)).astype(np.float32))
+    mpos = jnp.array(rng.normal(size=(T, E)).astype(np.float32))
+    mmask = jnp.array(np.arange(T)[None, :] < np.array([T, T - 9])[:, None])
+
+    plain = SCALayer(E, E, H, F, dropout=0.1, attn_dropout=0.1)
+    fused = SCALayer(E, E, H, F, dropout=0.1, attn_dropout=0.1,
+                     use_pallas_sa=True, pallas_interpret=True)
+    kw = dict(pos=mpos, query_pos=qpos, memory_mask=mmask)
+    params = plain.init(jax.random.PRNGKey(0), tgt, mem, **kw)
+    params_f = fused.init(jax.random.PRNGKey(0), tgt, mem, **kw)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_f)
+
+    y_plain = plain.apply(params, tgt, mem, **kw)
+    y_fused = fused.apply(params, tgt, mem, **kw)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_plain),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(mod):
+        def f(p, tt, mm):
+            y = mod.apply(p, tt, mm, **kw)
+            return (y * jnp.sin(y)).sum()
+        return f
+
+    gp, gt, gm = jax.grad(loss(plain), argnums=(0, 1, 2))(params, tgt, mem)
+    gfp, gft, gfm = jax.grad(loss(fused), argnums=(0, 1, 2))(params, tgt, mem)
+    np.testing.assert_allclose(_grad_vec(gft), _grad_vec(gt), rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(_grad_vec(gfm), _grad_vec(gm), rtol=5e-4, atol=5e-5)
+    ref, got = _grad_vec(gp), _grad_vec(gfp)
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4 * np.abs(ref).max())
+
+
+def test_sa_layer_fused_bf16(rng):
+    """bf16 mixed precision through the fused sublayers: matches the XLA
+    bf16 path within bf16 tolerance, cotangents finite and input-dtyped."""
+    B, M, E, H, F = 2, 8, 64, 4, 64
+    x = jnp.array(rng.normal(size=(B, M, E)).astype(np.float32))
+    pos = jnp.array(rng.normal(size=(M, E)).astype(np.float32))
+    plain, fused = _sa_layer_pair(E, H, F, dtype=jnp.bfloat16)
+    params = plain.init(jax.random.PRNGKey(0), x, x, x, query_pos=pos, key_pos=pos)
+
+    y_plain = plain.apply(params, x, x, x, query_pos=pos, key_pos=pos)
+    y_fused = fused.apply(params, x, x, x, query_pos=pos, key_pos=pos)
+    np.testing.assert_allclose(np.asarray(y_fused, np.float32),
+                               np.asarray(y_plain, np.float32), rtol=0.05, atol=0.05)
+
+    def f(p, xx):
+        y = fused.apply(p, xx, xx, xx, query_pos=pos, key_pos=pos)
+        return (y.astype(jnp.float32) ** 2).sum()
+
+    gp, gx = jax.grad(f, argnums=(0, 1))(params, x)
+    _assert_cotangent_dtypes((params, x), (gp, gx))
