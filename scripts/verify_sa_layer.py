@@ -10,9 +10,10 @@ F=2048; breakfast: M=60):
   1. rate=0 fused SALayer fwd + grads == the XLA module path, shared params;
   2. same for SCALayer (self-attn + FFN fused around plain cross-attn);
   3. bf16 mixed-precision variant within bf16 tolerance;
-  4. dropout mode: same seed -> identical output, different seed ->
-     different, and a central-difference directional-derivative check that
-     the backward's PRNG mask regeneration matches the forward's masks.
+  4. dropout mode: bit-exact in-kernel mask extraction (sa_dropout_masks /
+     ffn_dropout_masks replay the kernels' PRNG draw sequence) feeds an XLA
+     reference that fwd AND grads must match, proving the backward's mask
+     regeneration equals the forward's draw; plus seed-sensitivity checks.
 
 Prints PASS/FAIL lines; exit code 0 iff all pass.
 """
