@@ -456,7 +456,40 @@ def get_flops():
     return data["train_flops_per_step"], data["infer_flops_per_step"]
 
 
+def _wait_for_tpu(max_wait_s: float = 1500.0, probe_timeout_s: float = 150.0):
+    """Gate on the axon relay being reachable before measuring.
+
+    Backend init on a downed relay hangs indefinitely (observed: >9 min with
+    no error), which would leave the driver's bench artifact empty.  Probe
+    `jax.devices()` in a subprocess with a hard timeout and retry with
+    backoff; on sustained outage, proceed anyway so the failure is a visible
+    traceback rather than a silent hang beyond max_wait_s."""
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s, capture_output=True,
+            )
+            if proc.returncode == 0:
+                if attempt > 1:
+                    log(f"TPU relay reachable after {attempt} probes")
+                return
+            log(f"TPU probe {attempt} failed: {proc.stderr.decode()[-200:]}")
+        except subprocess.TimeoutExpired:
+            log(f"TPU probe {attempt} timed out after {probe_timeout_s:.0f}s")
+        if time.time() >= deadline:
+            log("TPU relay still unreachable; proceeding (expect a traceback)")
+            return
+        time.sleep(min(60.0, max(5.0, deadline - time.time())))
+
+
 def main():
+    _wait_for_tpu()
     ref_fps, ref_train_fps = get_reference_fps()
     train_flops, infer_flops = get_flops()
     train_fps, train_step_s = measure_ours_train()
