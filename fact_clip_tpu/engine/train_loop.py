@@ -217,7 +217,7 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
             return dist_lib.local_values(arr)
         return np.asarray(arr)
 
-    logger = Logger(cfg, cfg2flatdict(cfg))
+    logger = Logger(cfg, cfg2flatdict(cfg), logdir=logdir)
 
     # rbg PRNG: the training step draws large dropout masks (e.g. the
     # u-blocks' (B, T, 2*hid) X2Y concats); threefry mask generation costs

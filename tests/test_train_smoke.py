@@ -81,6 +81,20 @@ def test_training_learns_and_checkpoints(fixture_base, tmp_path):
     assert m["AccB"] > 60.0, m
     assert np.isfinite(m["F1@0.50"])
 
+    # without wandb the Logger appends the metric stream to metrics.jsonl
+    # (reference namespaces, one JSON object per log call)
+    import json
+
+    with open(os.path.join(logdir, "metrics.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    assert records, "metrics.jsonl is empty"
+    train_recs = [r for r in records if any(k.startswith("train-loss/") for k in r)]
+    test_recs = [r for r in records if any(k.startswith("test-metric-all/") for k in r)]
+    assert train_recs and test_recs
+    assert all(isinstance(r["step"], int) for r in records)
+    steps = [r["step"] for r in train_recs]
+    assert steps == sorted(steps)
+
 
 def test_finish_proof_skips_rerun(fixture_base, tmp_path):
     cfg = smoke_cfg(fixture_base)
