@@ -462,8 +462,8 @@ def _wait_for_tpu(max_wait_s: float = 1500.0, probe_timeout_s: float = 150.0):
     Backend init on a downed relay hangs indefinitely (observed: >9 min with
     no error), which would leave the driver's bench artifact empty.  Probe
     `jax.devices()` in a subprocess with a hard timeout and retry with
-    backoff; on sustained outage, proceed anyway so the failure is a visible
-    traceback rather than a silent hang beyond max_wait_s."""
+    backoff; on sustained outage, exit nonzero with a clear diagnostic —
+    proceeding would just re-enter the indefinite init hang in-process."""
     import subprocess
 
     deadline = time.time() + max_wait_s
@@ -483,8 +483,8 @@ def _wait_for_tpu(max_wait_s: float = 1500.0, probe_timeout_s: float = 150.0):
         except subprocess.TimeoutExpired:
             log(f"TPU probe {attempt} timed out after {probe_timeout_s:.0f}s")
         if time.time() >= deadline:
-            log("TPU relay still unreachable; proceeding (expect a traceback)")
-            return
+            log(f"TPU relay unreachable for {max_wait_s:.0f}s; aborting bench")
+            sys.exit(1)
         time.sleep(min(60.0, max(5.0, deadline - time.time())))
 
 

@@ -679,11 +679,18 @@ def _dropout_seed(mod: nn.Module, needed: bool):
     )
 
 
+def _shared_pos(query_pos):
+    """True when pos is one table shared across the batch (the SADecoder /
+    SCADecoder layout) — the fused kernel keeps it VMEM-resident and
+    accumulates its gradient in-kernel; per-video pos falls back to XLA."""
+    return query_pos is None or query_pos.ndim == 2 or query_pos.shape[0] == 1
+
+
 def _fused_pos(query_pos, x, E):
-    B, M, _ = x.shape
+    _, M, _ = x.shape
     if query_pos is None:
-        return jnp.zeros((B, M, E), jnp.float32)
-    return jnp.broadcast_to(_poslike(query_pos, x).astype(jnp.float32), (B, M, E))
+        return jnp.zeros((1, M, E), jnp.float32)
+    return _poslike(query_pos, x).astype(jnp.float32)
 
 
 class SALayer(nn.Module):
@@ -715,6 +722,7 @@ class SALayer(nn.Module):
             and key_pos is query_pos
             and key_mask is None
             and self.q_dim % self.nhead == 0
+            and _shared_pos(query_pos)
         )
         if fuse:
             from ..ops.pallas.sa_layer import ffn_sublayer, sa_sublayer
@@ -782,7 +790,8 @@ class SCALayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, memory, pos=None, query_pos=None, memory_mask=None, deterministic=True):
-        fuse = self.use_pallas_sa and self.action_dim % self.nhead == 0
+        fuse = (self.use_pallas_sa and self.action_dim % self.nhead == 0
+                and _shared_pos(query_pos))
         E, F = self.action_dim, self.dim_feedforward
         bf16 = self.dtype == jnp.bfloat16
         rate = 0.0 if deterministic else float(self.dropout)

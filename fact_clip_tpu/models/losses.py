@@ -198,8 +198,12 @@ def frame_ce_smooth(frame_clogit, labels, frame_mask, cweight, use_pallas=False)
     the kernel returns the unnormalized sums and the normalizers here mirror
     frame_loss / smooth_loss exactly."""
     C = frame_clogit.shape[-1]
+    # class weights are config constants (reference passes them as torch CE
+    # weight args); treat them as non-differentiable on BOTH paths so the
+    # fused kernel's zero cweight-cotangent cannot silently diverge from XLA
+    cweight = jax.lax.stop_gradient(cweight)
     pair_mask = frame_mask[:, 1:] & frame_mask[:, :-1]
-    if use_pallas and _fl_fits(frame_clogit.shape[1], C):
+    if use_pallas:
         from ..ops.pallas.frame_loss import fused_ce_smooth_sums
 
         ce_sum, sl_sum = fused_ce_smooth_sums(
@@ -215,18 +219,12 @@ def frame_ce_smooth(frame_clogit, labels, frame_mask, cweight, use_pallas=False)
 def smooth_loss_opt(logits, frame_mask, col_mask, use_pallas=False):
     """smooth_loss with the fused kernel when there is no column mask."""
     pair_mask = frame_mask[:, 1:] & frame_mask[:, :-1]
-    if use_pallas and col_mask is None and _fl_fits(*logits.shape[1:]):
+    if use_pallas and col_mask is None:
         from ..ops.pallas.frame_loss import fused_smooth_sum
 
         sl_sum = fused_smooth_sum(logits.astype(jnp.float32), frame_mask)
         return sl_sum / jnp.maximum(pair_mask.sum(axis=1) * logits.shape[-1], 1e-12)
     return smooth_loss(logits, pair_mask, col_mask=col_mask)
-
-
-def _fl_fits(T: int, C: int) -> bool:
-    from ..ops.pallas.frame_loss import fits
-
-    return fits(T, C)
 
 
 # --------------------------------------------------------------------------
@@ -259,7 +257,6 @@ def block_loss(saves: dict, batch: dict, seg2tok, cweight_arr, sw: float, token_
     sweight = jnp.where(seg_mask, cweight_arr[transcript], 0.0)
     if ref_weight_order:
         sweight = ref_order_sweight(sweight, seg2tok, seg_mask)
-    pair_mask = frame_mask[:, 1:] & frame_mask[:, :-1]
 
     fl, sl = frame_ce_smooth(saves["frame_clogit"], labels, frame_mask, cweight_arr,
                              use_pallas=use_pallas)

@@ -244,10 +244,6 @@ def _loss_bwd(n_classes, with_ce, interpret, res, g):
 _loss_vjp.defvjp(_loss_fwd, _loss_bwd)
 
 
-def fits(T: int, C: int) -> bool:  # kept for callers; the tiled form always fits
-    return True
-
-
 def fused_ce_smooth_sums(clogit, labels, frame_mask, cweight, *,
                          interpret: bool = False):
     """Unnormalized (ce_sum, smooth_sum) per video, one fused pass.
@@ -258,6 +254,9 @@ def fused_ce_smooth_sums(clogit, labels, frame_mask, cweight, *,
 
     clogit: (B, T, C) logits; labels (B, T) int; frame_mask (B, T) bool;
     cweight (>=C,) f32.  The caller normalizes (frame count / C*pairs).
+    Gradients flow to clogit only: cweight (like labels/masks) gets a zero
+    cotangent — class weights are config constants, and the wrapper in
+    models/losses.py stop-gradients them on the XLA path to match.
     """
     C = clogit.shape[-1]
     aux = (labels, frame_mask.astype(jnp.float32), cweight[:C].astype(jnp.float32))

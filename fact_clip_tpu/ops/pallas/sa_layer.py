@@ -13,9 +13,9 @@ Multi-head attention without batched matmuls: queries are stacked
 head-blocked — rows h*M+i hold query i masked to head h's lanes — so all
 heads' logits come from ONE (H*M, E) x (E, M) matmul per video, softmax
 runs over the key lanes, and the head-blocked context collapses back with a
-lane-select.  The grid is (B,); weight blocks have constant index maps so
-they stay VMEM-resident across videos, and weight gradients accumulate into
-revisited output blocks.
+lane-select.  The grid is (B,); the weight blocks and the shared positional
+table have constant index maps so they stay VMEM-resident across videos, and
+the weight + pos gradients accumulate into revisited output blocks.
 
 Dropout uses the on-core PRNG (dilated_conv._keep_mask); the backward
 re-seeds per video and redraws the identical masks (same draw sequence).
@@ -208,10 +208,10 @@ def _sa_bwd_kernel(seed_ref, x_ref, pos_ref, wqk_ref, bqk_ref, wv_ref, bv_ref,
     dxv = _dot(dv_dt, _cast(wv_ref[...], bf16), ((1,), (1,)))
 
     dx_ref[0] = dres + dxa + dxv
-    dpos_ref[0] = dxa
 
     @pl.when(b == 0)
     def _init():
+        dpos_ref[...] = jnp.zeros(dpos_ref.shape, jnp.float32)
         dwqk_ref[...] = jnp.zeros(dwqk_ref.shape, jnp.float32)
         dbqk_ref[...] = jnp.zeros(dbqk_ref.shape, jnp.float32)
         dwv_ref[...] = jnp.zeros(dwv_ref.shape, jnp.float32)
@@ -221,6 +221,7 @@ def _sa_bwd_kernel(seed_ref, x_ref, pos_ref, wqk_ref, bqk_ref, wv_ref, bv_ref,
         dls_ref[...] = jnp.zeros(dls_ref.shape, jnp.float32)
         dlb_ref[...] = jnp.zeros(dlb_ref.shape, jnp.float32)
 
+    dpos_ref[0] += dxa
     dwqk_ref[...] += dwqk.astype(jnp.float32)
     dbqk_ref[...] += dbqk
     dwv_ref[...] += dwv.astype(jnp.float32)
@@ -317,6 +318,7 @@ def _seed_ct(seed):
 
 
 def _pad_tokens(x, pos, M8):
+    """x: (B, M, E); pos: (1, M, E) — one shared table, not per-video."""
     B, M, E = x.shape
     if M8 != M:
         x = jnp.pad(x, ((0, 0), (0, M8 - M), (0, 0)))
@@ -343,7 +345,7 @@ def _sa_fwd_impl(x, pos, wqk, bqk, wv, bv, wo, bo, ln_s, ln_b, seed_t,
         grid=(B,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, M8, E), lambda b: (b, 0, 0)),
-                  pl.BlockSpec((1, M8, E), lambda b: (b, 0, 0)),
+                  _const((1, M8, E)),
                   _const((E, 2 * E)), _const((1, 2 * E)),
                   _const((E, E)), _const((1, E)),
                   _const((E, E)), _const((1, E)),
@@ -377,19 +379,19 @@ def _sa_bwd(H, rate_attn, rate, bf16, interpret, res, g):
         kernel,
         grid=(B,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  tok, tok,
+                  tok, _const((1, M8, E)),
                   _const((E, 2 * E)), _const((1, 2 * E)),
                   _const((E, E)), _const((1, E)),
                   _const((E, E)), _const((1, E)),
                   _const((1, E)), _const((1, E)),
                   tok],
-        out_specs=[tok, tok,
+        out_specs=[tok, _const((1, M8, E)),
                    _const((E, 2 * E)), _const((1, 2 * E)),
                    _const((E, E)), _const((1, E)),
                    _const((E, E)), _const((1, E)),
                    _const((1, E)), _const((1, E))],
         out_shape=[jax.ShapeDtypeStruct((B, M8, E), jnp.float32),
-                   jax.ShapeDtypeStruct((B, M8, E), jnp.float32),
+                   jax.ShapeDtypeStruct((1, M8, E), jnp.float32),
                    jax.ShapeDtypeStruct((E, 2 * E), jnp.float32),
                    jax.ShapeDtypeStruct((1, 2 * E), jnp.float32),
                    jax.ShapeDtypeStruct((E, E), jnp.float32),
@@ -403,6 +405,7 @@ def _sa_bwd(H, rate_attn, rate, bf16, interpret, res, g):
     )(_seed_arr(seed_t), xp, posp, wqk, _row(bqk), wv, _row(bv), wo, _row(bo),
       _row(ln_s), _row(ln_b), gp)
     dx, dpos, dwqk, dbqk, dwv, dbv, dwo, dbo, dls, dlb = outs
+    # dpos is accumulated across videos in-kernel -> one (1, M, E) table grad
     return (dx[:, :M].astype(x.dtype), dpos[:, :M].astype(pos.dtype),
             dwqk, dbqk[0], dwv, dbv[0], dwo, dbo[0], dls[0], dlb[0],
             _seed_ct(seed_t))
@@ -561,10 +564,14 @@ def sa_sublayer(x, pos, wq, bq, wk, bk, wv, bv, wo, bo, ln_scale, ln_bias, *,
                 seed=None, bf16: bool = False, interpret: bool = False):
     """Fused self-attention sublayer: LN(x + drop(out_proj(MHA(x+pos, x+pos, x)))).
 
-    x, pos: (B, M, E) (pos zero-padded to E by the caller if narrower).
+    x: (B, M, E); pos: (M, E) or (1, M, E), ONE table shared across the
+    batch (zero-padded to E by the caller if narrower) — it rides a
+    constant-index-map block and its gradient is accumulated in-kernel.
     Weights are the flax Dense (in, out) kernels; ``seed`` is a (1,) int32
     array seeding the in-kernel dropout PRNG (required when a rate > 0).
     """
+    if pos.ndim == 2:
+        pos = pos[None]
     wqk = jnp.concatenate([wq, wk], axis=1)
     bqk = jnp.concatenate([bq, bk], axis=0)
     return _sa_vjp(x, pos, wqk, bqk, wv, bv, wo, bo, ln_scale, ln_bias, seed,

@@ -151,7 +151,7 @@ def run_dropout(B, M, E, H, F):
     key = jax.random.PRNGKey(4)
     ks = jax.random.split(key, 16)
     x = jax.random.normal(ks[0], (B, M, E), jnp.float32)
-    pos = jax.random.normal(ks[1], (B, M, E), jnp.float32)
+    pos = jax.random.normal(ks[1], (1, M, E), jnp.float32)  # one shared table
     lw = jax.random.normal(ks[2], (B, M, E), jnp.float32)
     wq, wk, wv, wo = (jax.random.normal(ks[3 + i], (E, E)) * 0.05 for i in range(4))
     bq, bk, bv, bo = (jax.random.normal(ks[7 + i], (E,)) * 0.05 for i in range(4))
