@@ -188,6 +188,10 @@ TPU.checkpoint_backend = "msgpack"  # "msgpack" (single file) | "orbax" (directo
 # state.iter-<N>.state file so resume is bit-continuous; the reference-format
 # weights-only network.iter-<N>.net is always written regardless
 TPU.save_opt_state = True
+# flat optimizer layout: master params + moments as single flat vectors
+# (engine/state.py::FlatTrainState) — removes ~400 per-leaf optimizer
+# fusions and the per-leaf scan-carry copies; sidecars stay tree-layout
+TPU.flat_opt_state = True
 # "" -> JAX default (TPU matmuls take bf16 inputs with f32 accumulation);
 # "highest" forces full-f32 matmuls for strict-parity runs at ~3x matmul cost
 TPU.matmul_precision = ""

@@ -112,16 +112,72 @@ def _state_path(ckpt_file: str) -> str:
     return stem.replace("network.iter-", "state.iter-") + ".state"
 
 
+def _is_flat_state(state) -> bool:
+    from .state import FlatTrainState
+
+    return isinstance(state, FlatTrainState)
+
+
+def _flat_state_to_tree_repr(state):
+    """Tree-layout {step, params, opt_state} pytree for a FlatTrainState.
+
+    Flat optimizer-moment vectors (any 1-D leaf of param-vector length:
+    Adam mu/nu, SGD trace) are unraveled to the param tree so the sidecar
+    bytes are identical to what the tree-layout TrainState writes — the two
+    layouts' sidecars stay interchangeable across resumes.
+    """
+    import jax
+
+    n = state.flat.size
+
+    def conv(leaf):
+        if getattr(leaf, "ndim", None) == 1 and leaf.size == n:
+            return state.unravel(leaf)
+        return leaf
+
+    return {
+        "step": state.step,
+        "params": state.unravel(state.flat),
+        "opt_state": jax.tree_util.tree_map(conv, state.opt_state),
+    }
+
+
+def _flat_state_from_tree_dict(template, raw):
+    """Restore a FlatTrainState from a tree-layout sidecar state dict."""
+    import jax
+    from jax.flatten_util import ravel_pytree
+
+    target = _flat_state_to_tree_repr(template)
+    restored = serialization.from_state_dict(target, raw)
+    n = template.flat.size
+
+    def back(tmpl_leaf, sub):
+        if getattr(tmpl_leaf, "ndim", None) == 1 and tmpl_leaf.size == n:
+            return ravel_pytree(sub)[0]
+        return sub
+
+    # template leaves align with restored subtrees (tree_map flattens the
+    # second tree up to the first's structure)
+    opt_state = jax.tree_util.tree_map(back, template.opt_state, restored["opt_state"])
+    return template.replace(
+        step=restored["step"],
+        flat=ravel_pytree(restored["params"])[0],
+        opt_state=opt_state,
+    )
+
+
 def save_train_state(state, ckptdir: str, iteration: int, backend: str = "msgpack") -> str:
     """Serialize the full TrainState next to the weights checkpoint.
 
     The sidecar is msgpack either way (flax to_state_dict covers
     step/params/opt_state; apply_fn/tx are static); ``backend`` only names
-    the weights file the sidecar corresponds to.
+    the weights file the sidecar corresponds to.  FlatTrainState sidecars
+    are written in the tree layout (see _flat_state_to_tree_repr).
     """
     fname = _state_path(save_model_path(ckptdir, iteration, backend))
+    payload = _flat_state_to_tree_repr(state) if _is_flat_state(state) else state
     with open(fname, "wb") as f:
-        f.write(serialization.to_bytes(state))
+        f.write(serialization.to_bytes(payload))
     return fname
 
 
@@ -138,6 +194,13 @@ def load_train_state(template_state, ckpt_file: str):
         return None
     with open(fname, "rb") as f:
         data = f.read()
+    if _is_flat_state(template_state):
+        raw = serialization.msgpack_restore(data)
+        try:
+            return _flat_state_from_tree_dict(template_state, raw)
+        except (ValueError, KeyError):
+            # pre-migration param layouts inside the tree-layout sidecar
+            return _flat_state_from_tree_dict(template_state, _migrate_param_layouts(raw))
     try:
         return serialization.from_bytes(template_state, data)
     except (ValueError, KeyError):

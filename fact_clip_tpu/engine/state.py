@@ -10,13 +10,65 @@ not cumulative).
 
 from __future__ import annotations
 
+from typing import Any, Callable
+
 import jax
 import optax
+from flax import struct
 from flax.training import train_state
+from jax.flatten_util import ravel_pytree
 
 
 class TrainState(train_state.TrainState):
     pass
+
+
+class FlatTrainState(struct.PyTreeNode):
+    """TrainState with the master params and optimizer moments stored as
+    single flat f32 vectors.
+
+    The model's ~400 parameter leaves otherwise appear in the train step as
+    ~400 per-leaf optimizer fusions, ~300 per-leaf global-norm reduces and
+    ~2,400 per-iteration carry copies when steps are chained inside one
+    ``lax.scan`` (profiled at ~2 ms/step on v5e, see BASELINE.md) — and as
+    one small grad collective per leaf on a device mesh.  Flat layout:
+    one concatenate, one big fused optimizer update, three carried buffers.
+
+    ``params`` is a property that unravels the flat vector into the model's
+    tree; under jit the per-leaf slices fuse with the mixed-precision casts
+    that the forward pass performs anyway.  The public surface
+    (``.params`` / ``apply_gradients`` / ``step``) matches
+    ``flax.training.train_state.TrainState``, and checkpoint sidecars are
+    written in the tree layout (engine/checkpoint.py) so the two layouts'
+    checkpoints stay interchangeable.
+    """
+
+    step: Any
+    flat: jax.Array
+    opt_state: optax.OptState
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    unravel: Callable = struct.field(pytree_node=False)
+
+    @property
+    def params(self):
+        return self.unravel(self.flat)
+
+    def apply_gradients(self, *, grads, **kwargs):
+        g_flat, _ = ravel_pytree(grads)
+        updates, new_opt = self.tx.update(g_flat, self.opt_state, self.flat)
+        return self.replace(
+            step=self.step + 1,
+            flat=optax.apply_updates(self.flat, updates),
+            opt_state=new_opt,
+            **kwargs,
+        )
+
+    @classmethod
+    def create(cls, *, apply_fn, params, tx, **kwargs):
+        flat, unravel = ravel_pytree(params)
+        return cls(step=0, flat=flat, opt_state=tx.init(flat),
+                   apply_fn=apply_fn, tx=tx, unravel=unravel, **kwargs)
 
 
 def lr_schedule(base_lr: float, lr_decay_epochs: int, steps_per_epoch: int):
@@ -52,8 +104,13 @@ def build_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
     return optax.chain(*parts)
 
 
-def create_train_state(model, params, cfg, steps_per_epoch: int) -> TrainState:
+def create_train_state(model, params, cfg, steps_per_epoch: int):
     tx = build_optimizer(cfg, steps_per_epoch)
+    want_flat = bool(getattr(cfg.TPU, "flat_opt_state", True)) if "TPU" in cfg else True
+    dtypes = {p.dtype for p in jax.tree_util.tree_leaves(params)}
+    if want_flat and len(dtypes) == 1:
+        return FlatTrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    # mixed-dtype param trees can't ravel losslessly; keep the tree layout
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 

@@ -99,7 +99,14 @@ def a2f_attn_loss(logits_r2m, seg2tok, seg_mask, Y, sweight):
     (loss.py:209-222,224-244): columns are gathered by the matching (with
     multiplicity under o2m) before the log-softmax.
     """
-    G = jnp.take_along_axis(logits_r2m, seg2tok[:, None, :], axis=2)  # (B, R, S)
+    # gather-free column pick: the (B, R, M) -> (B, R, S) take_along_axis
+    # backward lowers to a serial scatter-add over R (~3000 frames) on TPU;
+    # a one-hot contraction is two small MXU matmuls instead.  HIGHEST
+    # precision keeps it bit-exact (one-hot rows select, never mix, values).
+    M = logits_r2m.shape[2]
+    A = jax.nn.one_hot(seg2tok, M, dtype=logits_r2m.dtype)  # (B, S, M)
+    G = jnp.einsum("brm,bsm->brs", logits_r2m, A,
+                   precision=jax.lax.Precision.HIGHEST)
     logp = masked_log_softmax(G, seg_mask[:, None, :], axis=2)
     loss = -(logp * Y * sweight[:, None, :]).sum(axis=(1, 2))
     norm = Y.sum(axis=(1, 2))
@@ -111,7 +118,11 @@ def f2a_attn_loss(logits_m2r, seg2tok, seg_mask, row_mask, Y, sweight):
 
     logits_m2r: (B, M, R).  Matches cross_attn_loss(dim=1) variants.
     """
-    G = jnp.take_along_axis(logits_m2r, seg2tok[:, :, None], axis=1)  # (B, S, R)
+    # gather-free row pick (see a2f_attn_loss: scatter-free backward)
+    M = logits_m2r.shape[1]
+    A = jax.nn.one_hot(seg2tok, M, dtype=logits_m2r.dtype)  # (B, S, M)
+    G = jnp.einsum("bmr,bsm->bsr", logits_m2r, A,
+                   precision=jax.lax.Precision.HIGHEST)
     logp = masked_log_softmax(G, row_mask[:, None, :], axis=2)
     Yt = Y.transpose(0, 2, 1)  # (B, S, R)
     loss = -(logp * Yt * sweight[:, :, None]).sum(axis=(1, 2))

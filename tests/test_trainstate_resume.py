@@ -87,7 +87,10 @@ def test_weights_only_resume_differs_for_adam(tmp_path):
     state_straight, _ = _run(state0, train_step, batch, 6)
 
     state_half, _ = _run(state0, train_step, batch, 3)
-    weights_only = state0.replace(params=state_half.params)  # moments reset
+    if hasattr(state0, "flat"):  # FlatTrainState: params live in .flat
+        weights_only = state0.replace(flat=state_half.flat)  # moments reset
+    else:
+        weights_only = state0.replace(params=state_half.params)  # moments reset
     state_resumed, _ = _run(weights_only, train_step, batch, 3, start=3)
     assert not _trees_equal(state_resumed.params, state_straight.params)
 
@@ -160,7 +163,11 @@ def test_old_trainstate_sidecar_migrates(tmp_path):
     cfg, state0, train_step, batch = _setup("Adam")
     state_half, _ = _run(state0, train_step, batch, 2)
 
-    sd = serialization.to_state_dict(state_half)
+    # sidecars are always written in the tree layout (engine/checkpoint.py),
+    # so the old-layout fixture starts from the tree representation
+    payload = (ckpt_io._flat_state_to_tree_repr(state_half)
+               if hasattr(state_half, "flat") else state_half)
+    sd = serialization.to_state_dict(payload)
     old_sd = _to_old_layout(sd)
     assert old_sd != sd, "fixture should actually produce an old layout"
     ckptdir = str(tmp_path)
