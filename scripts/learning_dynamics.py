@@ -77,6 +77,25 @@ RECIPES = {
     # never validated" (train.py:219-221, 325-328)
     "sgd": _RECIPE_BASE % {"f": "m2",
                            "optim": "optimizer: SGD\nlr: 0.02\nmomentum: 0.9\nlr_decay: 25"},
+    # FACT_CLIP: InfoNCE contrastive alignment to frozen text embeddings +
+    # the CLIP-similarity eval path (reference blocks.py:504-920; both stacks
+    # read the same precomputed-embedding cache written by make_fixture)
+    "clip": _RECIPE_BASE % {"f": "m", "optim": "optimizer: Adam\nlr: 0.001\nlr_decay: -1"}
+    + """\
+use_clip: true
+# the reference resolves the clip text-embedding mapping ONLY through an
+# explicit cfg.map_fname (train.py:164-169; for non-havid datasets it
+# otherwise warns and silently trains without the contrastive loss)
+map_fname: __MAP_PATH__
+CLIP:
+  precompute_text: true
+  text_emb_path: __EMB_PATH__
+  temp: 0.07
+  contrastive_weight: 0.5
+  fact_loss_weight: 0.5
+  projection_hidden_dim: 64
+  projection_dropout: 0.1
+""",
 }
 RECIPE = RECIPES["adam"]
 
@@ -91,9 +110,25 @@ def make_fixture(workdir: str, seed: int = 7, recipe: str = "adam"):
         workdir, name="gtea", n_classes=11, bg_class=10, n_train=16, n_test=6,
         feat_dim=24, min_len=150, max_len=300, min_segs=4, max_segs=7,
         class_sep=2.0, seed=seed)
+    text = RECIPES[recipe]
+    if "__EMB_PATH__" in text:
+        # fixture "CLIP" text embeddings: seeded random unit vectors — both
+        # stacks read this same cache (the reference via CLIP.text_emb_path,
+        # utils/text_embeddings.py:168-184), so no CLIP model is needed
+        import numpy as np
+        import torch
+
+        emb_path = os.path.join(workdir, "text_emb.pt")
+        rng = np.random.default_rng(seed + 1)
+        emb = rng.standard_normal((11, 512)).astype("float32")
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        torch.save(torch.from_numpy(emb), emb_path)
+        text = text.replace("__EMB_PATH__", emb_path)
+        text = text.replace("__MAP_PATH__",
+                            os.path.join(workdir, "data", "gtea", "mapping.txt"))
     cfg_path = os.path.join(workdir, "shared.yaml")
     with open(cfg_path, "w") as f:
-        f.write(RECIPES[recipe])
+        f.write(text)
     return cfg_path
 
 

@@ -86,6 +86,17 @@ def main():
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
 
+    # torch.load calls that name a CUDA map_location (the reference's
+    # text-embedding cache loader passes device='cuda:<gpu>',
+    # utils/text_embeddings.py:144) must land on CPU here
+    _torch_load = torch.load
+
+    def _cpu_load(*a, **k):
+        k["map_location"] = "cpu"
+        return _torch_load(*a, **k)
+
+    torch.load = _cpu_load
+
     # --- deterministic run (train.py only seeds in debug mode, but debug
     # mode swaps the train set for the test set; seed here instead)
     import numpy as np

@@ -48,3 +48,27 @@ def test_learning_dynamics_parity(tmp_path):
     for r in ref_runs + our_runs:
         assert len(r["losses"]) >= 5
         assert len(r["evals"]) >= 1
+
+
+def test_learning_dynamics_parity_clip(tmp_path):
+    """FACT_CLIP recipe: InfoNCE contrastive alignment to a shared frozen
+    text-embedding cache + the CLIP-similarity eval path, one seed (the
+    vanilla recipe above covers seed variance).  Both stacks log the
+    composite 0.5*fact + 0.5*contrastive loss, so the curve comparison
+    covers the contrastive term's scale and trajectory too."""
+    import learning_dynamics as ld
+
+    workdir = str(tmp_path)
+    cfg_path = ld.make_fixture(workdir, recipe="clip")
+    ref_runs = [ld.run_reference(workdir, cfg_path, 1)]
+    our_runs = [ld.run_ours(workdir, cfg_path, 1)]
+
+    summary, ok = ld.compare(ref_runs, our_runs)
+    for c in summary["checks"]:
+        print(("PASS" if c["pass"] else "FAIL"), c)
+    assert ok, summary["checks"]
+
+    # the reference really trained its contrastive term (it silently
+    # degrades to vanilla FACT when the mapping file isn't configured)
+    ref_log = open(os.path.join(workdir, "ref_seed1.log")).read()
+    assert "contrastive_loss" in ref_log
