@@ -40,7 +40,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 ITER_RE = re.compile(r"^Iter(\d+)[ ,\[]")
 LOSS_RE = re.compile(r"\bloss:(\d+(?:\.\d+)?)")
-METRIC_RE = re.compile(r"([\w@.]+):(-?\d+(?:\.\d+)?)")
+METRIC_RE = re.compile(r"([\w@.-]+):(-?\d+(?:\.\d+)?)")
 
 _RECIPE_BASE = """\
 dataset: gtea
@@ -97,6 +97,16 @@ CLIP:
   projection_dropout: 0.1
 """,
 }
+
+# FACT_CLIP zero-shot holdout: class 6 is held out (in the seed-7 fixture it
+# appears in 5/16 train videos — both stacks' loaders must filter the same
+# ones — and in 3/6 test videos, so unseen metrics exist).  Exercises the
+# holdout video filtering, the seen-subset contrastive masking/label remap
+# (reference blocks.py:700-750) and the seen/unseen metric split end to end.
+RECIPES["clip_holdout"] = RECIPES["clip"] + """\
+holdout_mode: true
+holdout_classes: [6]
+"""
 RECIPE = RECIPES["adam"]
 
 
@@ -190,13 +200,17 @@ def run_ours(workdir: str, cfg_path: str, seed: int, timeout: int = 1800):
     return parse_log(log_path)
 
 
-def compare(ref_runs, our_runs):
+def compare(ref_runs, our_runs, holdout=False):
     """-> (summary dict, ok bool).  Tolerances documented in the module
     docstring."""
+    keys = ["Acc", "Edit", "F1@0.10", "F1@0.25", "F1@0.50"]
+    if holdout:
+        keys += ["Acc-seen", "Acc-unseen", "F1@0.50-seen", "F1@0.50-unseen"]
+
     def final_metrics(runs):
         out = {}
-        for k in ("Acc", "Edit", "F1@0.10", "F1@0.25", "F1@0.50"):
-            vals = [r["evals"][-1][k] for r in runs if r["evals"]]
+        for k in keys:
+            vals = [r["evals"][-1][k] for r in runs if r["evals"] and k in r["evals"][-1]]
             out[k] = sum(vals) / len(vals) if vals else float("nan")
         return out
 
@@ -205,7 +219,14 @@ def compare(ref_runs, our_runs):
     ref_m, our_m = final_metrics(ref_runs), final_metrics(our_runs)
     checks = []
 
-    for k, tol in (("Acc", 10.0), ("F1@0.50", 10.0)):
+    tol_pairs = [("Acc", 10.0), ("F1@0.50", 10.0)]
+    if holdout:
+        # seen metrics carry the learning signal; unseen ("zero-shot onto a
+        # random text embedding") is chance-level for BOTH stacks on this
+        # fixture — the check is that both stacks produce it and agree to a
+        # loose bound, i.e. the holdout machinery behaves identically
+        tol_pairs += [("Acc-seen", 10.0), ("Acc-unseen", 25.0)]
+    for k, tol in tol_pairs:
         delta = our_m[k] - ref_m[k]
         checks.append({
             "check": f"final {k}: ours >= ref - {tol} pts",
@@ -260,7 +281,7 @@ def main():
         print(f"--- ours, seed {seed}", flush=True)
         our_runs.append(run_ours(args.workdir, cfg_path, seed))
 
-    summary, ok = compare(ref_runs, our_runs)
+    summary, ok = compare(ref_runs, our_runs, holdout="holdout" in args.recipe)
     for c in summary["checks"]:
         print(("PASS" if c["pass"] else "FAIL"), c)
     if args.out:

@@ -72,3 +72,29 @@ def test_learning_dynamics_parity_clip(tmp_path):
     # degrades to vanilla FACT when the mapping file isn't configured)
     ref_log = open(os.path.join(workdir, "ref_seed1.log")).read()
     assert "contrastive_loss" in ref_log
+
+
+def test_learning_dynamics_parity_clip_holdout(tmp_path):
+    """Zero-shot holdout: class 6 held out.  Both stacks must filter the
+    same training videos, mask the contrastive loss to the seen subset
+    (reference blocks.py:700-750) and emit the seen/unseen metric split;
+    compare() additionally gates on Acc-seen (tight) and Acc-unseen
+    (present + loose — unseen is chance-level for both stacks on random
+    fixture text embeddings)."""
+    import learning_dynamics as ld
+
+    workdir = str(tmp_path)
+    cfg_path = ld.make_fixture(workdir, recipe="clip_holdout")
+    ref_runs = [ld.run_reference(workdir, cfg_path, 1)]
+    our_runs = [ld.run_ours(workdir, cfg_path, 1)]
+
+    summary, ok = ld.compare(ref_runs, our_runs, holdout=True)
+    for c in summary["checks"]:
+        print(("PASS" if c["pass"] else "FAIL"), c)
+    assert ok, summary["checks"]
+
+    # both stacks filtered the same number of training videos
+    ref_log = open(os.path.join(workdir, "ref_seed1.log")).read()
+    our_log = open(os.path.join(workdir, "ours_seed1.log")).read()
+    assert "Remaining training videos: 11" in ref_log
+    assert "holdout filtering: 11/16" in our_log
