@@ -77,6 +77,10 @@ RECIPES = {
     # never validated" (train.py:219-221, 325-328)
     "sgd": _RECIPE_BASE % {"f": "m2",
                            "optim": "optimizer: SGD\nlr: 0.02\nmomentum: 0.9\nlr_decay: 25"},
+    # one-to-many greedy matching (the epic/egoprocel matcher,
+    # reference loss.py o2m path) — recipes above are all o2o/Hungarian
+    "o2m": _RECIPE_BASE.replace("match: o2o", "match: o2m")
+    % {"f": "m", "optim": "optimizer: Adam\nlr: 0.001\nlr_decay: -1"},
     # FACT_CLIP: InfoNCE contrastive alignment to frozen text embeddings +
     # the CLIP-similarity eval path (reference blocks.py:504-920; both stacks
     # read the same precomputed-embedding cache written by make_fixture)

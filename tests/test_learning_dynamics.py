@@ -98,3 +98,19 @@ def test_learning_dynamics_parity_clip_holdout(tmp_path):
     our_log = open(os.path.join(workdir, "ours_seed1.log")).read()
     assert "Remaining training videos: 11" in ref_log
     assert "holdout filtering: 11/16" in our_log
+
+
+def test_learning_dynamics_parity_o2m(tmp_path):
+    """One-to-many greedy matching (the epic/egoprocel matcher) from
+    scratch — the other recipes all train under o2o/Hungarian matching."""
+    import learning_dynamics as ld
+
+    workdir = str(tmp_path)
+    cfg_path = ld.make_fixture(workdir, recipe="o2m")
+    ref_runs = [ld.run_reference(workdir, cfg_path, 1)]
+    our_runs = [ld.run_ours(workdir, cfg_path, 1)]
+
+    summary, ok = ld.compare(ref_runs, our_runs)
+    for c in summary["checks"]:
+        print(("PASS" if c["pass"] else "FAIL"), c)
+    assert ok, summary["checks"]
