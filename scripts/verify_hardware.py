@@ -26,7 +26,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 SUITES = ["verify_stack_bwd.py", "verify_pallas_mha.py", "verify_pallas_dropout.py",
-          "verify_x2y_bwd.py", "verify_frame_loss.py", "verify_sa_layer.py"]
+          "verify_x2y_bwd.py", "verify_frame_loss.py", "verify_sa_layer.py",
+          "verify_assignment.py"]
 
 LINE = re.compile(r"^(PASS|FAIL)\s+(\S.*?)(?:\s+rel-err\s+([0-9.e+-]+))?\s*$")
 
