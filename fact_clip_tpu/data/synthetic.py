@@ -101,8 +101,11 @@ def make_epic_fixture(
     rng = np.random.default_rng(seed + 1)
     verbs = [f"verb{v}" for v in range(n_verbs)]
     nouns = [f"noun{n}" for n in range(n_nouns)]
-    pairs = [(0, 0)]  # background-ish action
-    seen = {(0, 0)}
+    # the reference asserts the action vocabulary SPANS the verb/noun
+    # vocabularies (max(_VIDS)+1 == n_verbs, blocks_SepVerbNoun.py:206-207),
+    # so one action always uses the last verb and last noun
+    pairs = [(0, 0), (n_verbs - 1, n_nouns - 1)]  # background-ish + span pin
+    seen = set(pairs)
     while len(pairs) < n_actions:
         p = (int(rng.integers(0, n_verbs)), int(rng.integers(0, n_nouns)))
         if p not in seen:

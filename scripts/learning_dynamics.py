@@ -114,19 +114,46 @@ RECIPES["clip_holdout"] = RECIPES["clip"] + """\
 holdout_mode: true
 holdout_classes: [6]
 """
+
+# Epic verb/noun model family (reference blocks_SepVerbNoun.py): factored
+# verb/noun heads + embeddings, composed-action decode, o2m matching.  The
+# reference hardcodes head sizes 98/301 (train.py:200) and reads the
+# verb/noun mappings from cwd-relative paths (blocks_SepVerbNoun.py:156-159,
+# satisfied because run_reference runs with cwd=workdir), so the fixture
+# declares full 98-verb/301-noun vocabularies with 11 composed actions.
+RECIPES["epic"] = (
+    _RECIPE_BASE.replace("dataset: gtea", "dataset: epic")
+    .replace("match: o2o", "match: o2m")
+    # SepVerbNoun supports only the TDU block kinds (blocks_SepVerbNoun.py:42-51)
+    .replace("block: iu", "block: IU")
+    # the frame stream carries [features | 98 verb logits | 301 noun logits],
+    # so hid_dim must exceed 399 (real epic recipe: 512); 424 leaves 25
+    # feature dims at fixture scale
+    .replace("hid_dim: 48", "hid_dim: 424")
+    % {"f": "m", "optim": "optimizer: Adam\nlr: 0.001\nlr_decay: -1"}
+)
 RECIPE = RECIPES["adam"]
 
 
 def make_fixture(workdir: str, seed: int = 7, recipe: str = "adam"):
     sys.path.insert(0, REPO)
-    from fact_clip_tpu.data.synthetic import make_fixture_dataset
+    from fact_clip_tpu.data.synthetic import make_epic_fixture, make_fixture_dataset
 
-    # gtea layout: the reference hard-codes bg_class=[10] for this dataset
-    # (dataset.py:186), so the fixture has 11 classes with background last
-    make_fixture_dataset(
-        workdir, name="gtea", n_classes=11, bg_class=10, n_train=16, n_test=6,
-        feat_dim=24, min_len=150, max_len=300, min_segs=4, max_segs=7,
-        class_sep=2.0, seed=seed)
+    if recipe == "epic":
+        # full-size verb/noun vocabularies so both stacks build the same
+        # 98/301 heads (the reference hardcodes them; ours sizes from the
+        # mapping files)
+        make_epic_fixture(
+            workdir, n_verbs=98, n_nouns=301, n_actions=11, n_train=16,
+            n_test=6, feat_dim=24, min_len=150, max_len=300, min_segs=4,
+            max_segs=7, class_sep=2.0, seed=seed)
+    else:
+        # gtea layout: the reference hard-codes bg_class=[10] for this
+        # dataset (dataset.py:186), so it has 11 classes with background last
+        make_fixture_dataset(
+            workdir, name="gtea", n_classes=11, bg_class=10, n_train=16, n_test=6,
+            feat_dim=24, min_len=150, max_len=300, min_segs=4, max_segs=7,
+            class_sep=2.0, seed=seed)
     text = RECIPES[recipe]
     if "__EMB_PATH__" in text:
         # fixture "CLIP" text embeddings: seeded random unit vectors — both
@@ -191,7 +218,14 @@ def run_ours(workdir: str, cfg_path: str, seed: int, timeout: int = 1800):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    base = os.path.join(workdir, "data", "gtea")
+    with open(cfg_path) as f:
+        epic = "dataset: epic" in f.read()
+    if epic:
+        base = os.path.join(workdir, "data", "epic-kitchens", "processed")
+        split_path = base  # epic split files live at <processed>/<split>.train
+    else:
+        base = os.path.join(workdir, "data", "gtea")
+        split_path = os.path.join(base, "splits")
     with open(log_path, "w") as f:
         subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts", "train.py"),
@@ -200,7 +234,7 @@ def run_ours(workdir: str, cfg_path: str, seed: int, timeout: int = 1800):
              "feature_path", os.path.join(base, "features"),
              "groundTruth_path", os.path.join(base, "groundTruth"),
              "map_fname", os.path.join(base, "mapping.txt"),
-             "split_path", os.path.join(base, "splits")],
+             "split_path", split_path],
             stdout=f, stderr=subprocess.STDOUT, timeout=timeout, check=True,
             cwd=workdir, env=env,
         )

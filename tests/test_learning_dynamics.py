@@ -100,6 +100,25 @@ def test_learning_dynamics_parity_clip_holdout(tmp_path):
     assert "holdout filtering: 11/16" in our_log
 
 
+def test_learning_dynamics_parity_epic(tmp_path):
+    """Epic verb/noun model family (reference blocks_SepVerbNoun.py) from
+    scratch: factored 98/301 verb/noun heads and embeddings, TDU blocks,
+    composed-action decode, o2m matching — the full-size vocabularies are
+    declared by the fixture because the reference hardcodes the head sizes
+    and asserts the action mapping spans them."""
+    import learning_dynamics as ld
+
+    workdir = str(tmp_path)
+    cfg_path = ld.make_fixture(workdir, recipe="epic")
+    ref_runs = [ld.run_reference(workdir, cfg_path, 1)]
+    our_runs = [ld.run_ours(workdir, cfg_path, 1)]
+
+    summary, ok = ld.compare(ref_runs, our_runs)
+    for c in summary["checks"]:
+        print(("PASS" if c["pass"] else "FAIL"), c)
+    assert ok, summary["checks"]
+
+
 def test_learning_dynamics_parity_o2m(tmp_path):
     """One-to-many greedy matching (the epic/egoprocel matcher) from
     scratch — the other recipes all train under o2o/Hungarian matching."""
