@@ -29,4 +29,13 @@ echo "bench_epic rc=$?" >> "$LOG"
 timeout 2400 python scripts/profile_batch_sweep.py >> "$LOG" 2>&1
 echo "batch_sweep rc=$?" >> "$LOG"
 
+# 6. attribute the post-SA-fusion tail: diff the fresh trace (stage 3)
+#    against the archived pre-SA-fusion trace, if that archive still exists
+if [ -d /tmp/train_trace_b8g ]; then
+  timeout 600 python scripts/analyze_trace_diff.py \
+    /tmp/train_trace_b8g 8 8 /tmp/train_trace_r3final 8 8 \
+    > /tmp/remeasure_trace_diff.txt 2>&1
+  echo "trace_diff rc=$? (see /tmp/remeasure_trace_diff.txt)" >> "$LOG"
+fi
+
 echo DONE >> "$LOG"
