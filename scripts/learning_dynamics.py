@@ -115,6 +115,30 @@ holdout_mode: true
 holdout_classes: [6]
 """
 
+# Transcript mode (the gtea_transcript.yaml family, scaled to the fixture):
+# transcripts are given at train AND test time — `seq` identity matching
+# (reference loss.py:121-126), action features built by embedding the
+# transcript instead of learned queries (blocks.py:74-76), the GRU action
+# branch (ActionUpdate_GRU, basic.py:283-308 — its intended home is the
+# input block per the comment at blocks.py:225), and mwt 0.0 so decode is
+# the transcript-restricted attention argmax (`_eval_w_transcript`,
+# blocks.py:263-275).  The last matching mode + action-branch architecture
+# without from-scratch dynamics proof; recipes A-F all use learned queries.
+# sw 5.0 matches gtea_transcript.yaml's heavy attention smoothing: decode is
+# the attention argmax here, so segmental F1 is noise-dominated without it
+# (measured: at sw 1.0 the REFERENCE's own F1@0.50 swings 35.9 -> 91.2 over
+# the last 100 iters of a 200-iter run on the 6-video fixture test set).
+RECIPES["transcript"] = (
+    _RECIPE_BASE.replace("trans: false", "trans: true")
+    .replace("ntoken: 10", "ntoken: 0")
+    .replace("mwt: 0.3", "mwt: 0.0")
+    .replace("a: sca", "a: gru_om")
+    .replace("Bu: {f_layers: 3}", "Bu: {f_layers: 3, a: sa}")
+    .replace("match: o2o", "match: seq")
+    .replace("sw: 1.0", "sw: 5.0")
+    % {"f": "m", "optim": "optimizer: Adam\nlr: 0.001\nlr_decay: -1"}
+)
+
 # Epic verb/noun model family (reference blocks_SepVerbNoun.py): factored
 # verb/noun heads + embeddings, composed-action decode, o2m matching.  The
 # reference hardcodes head sizes 98/301 (train.py:200) and reads the

@@ -119,6 +119,25 @@ def test_learning_dynamics_parity_epic(tmp_path):
     assert ok, summary["checks"]
 
 
+def test_learning_dynamics_parity_transcript(tmp_path):
+    """Transcript mode (the gtea_transcript.yaml family): transcripts given
+    at train and test time — `seq` identity matching, transcript-embedding
+    action features, the GRU action branch (ActionUpdate_GRU) in the input
+    block, and mwt 0.0 transcript-restricted decode.  The last matching
+    mode + action-branch architecture without from-scratch proof."""
+    import learning_dynamics as ld
+
+    workdir = str(tmp_path)
+    cfg_path = ld.make_fixture(workdir, recipe="transcript")
+    ref_runs = [ld.run_reference(workdir, cfg_path, 1)]
+    our_runs = [ld.run_ours(workdir, cfg_path, 1)]
+
+    summary, ok = ld.compare(ref_runs, our_runs)
+    for c in summary["checks"]:
+        print(("PASS" if c["pass"] else "FAIL"), c)
+    assert ok, summary["checks"]
+
+
 def test_learning_dynamics_parity_o2m(tmp_path):
     """One-to-many greedy matching (the epic/egoprocel matcher) from
     scratch — the other recipes all train under o2o/Hungarian matching."""
