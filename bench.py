@@ -469,6 +469,7 @@ def _wait_for_tpu(max_wait_s: float = 1500.0, probe_timeout_s: float = 150.0):
 
     deadline = time.time() + max_wait_s
     attempt = 0
+    timed_out = False  # last failure mode: hang (relay down) vs fast error
     while True:
         attempt += 1
         try:
@@ -480,12 +481,19 @@ def _wait_for_tpu(max_wait_s: float = 1500.0, probe_timeout_s: float = 150.0):
                 if attempt > 1:
                     log(f"TPU relay reachable after {attempt} probes")
                 return
+            timed_out = False
             log(f"TPU probe {attempt} failed: {proc.stderr.decode()[-200:]}")
         except subprocess.TimeoutExpired:
+            timed_out = True
             log(f"TPU probe {attempt} timed out after {probe_timeout_s:.0f}s")
         if time.time() >= deadline:
-            log(f"TPU relay unreachable for {max_wait_s:.0f}s")
-            _emit_stale_or_die()
+            if timed_out:
+                log(f"TPU relay unreachable for {max_wait_s:.0f}s")
+                _emit_stale_or_die()
+            # a fast nonzero probe exit is a code/env regression, not an
+            # outage — emitting the stale result would mask it as success
+            log("TPU probe failing fast (not a relay hang); aborting")
+            sys.exit(1)
         time.sleep(min(60.0, max(5.0, deadline - time.time())))
 
 

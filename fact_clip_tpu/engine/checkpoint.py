@@ -128,16 +128,19 @@ def _flat_state_to_tree_repr(state):
     """
     import jax
 
+    from .state import _jit_unravel
+
     n = state.flat.size
+    unravel = _jit_unravel(state.unravel)  # one dispatch per vector, not per leaf
 
     def conv(leaf):
         if getattr(leaf, "ndim", None) == 1 and leaf.size == n:
-            return state.unravel(leaf)
+            return unravel(leaf)
         return leaf
 
     return {
         "step": state.step,
-        "params": state.unravel(state.flat),
+        "params": unravel(state.flat),
         "opt_state": jax.tree_util.tree_map(conv, state.opt_state),
     }
 

@@ -10,6 +10,7 @@ not cumulative).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable
 
 import jax
@@ -21,6 +22,14 @@ from jax.flatten_util import ravel_pytree
 
 class TrainState(train_state.TrainState):
     pass
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_unravel(unravel: Callable) -> Callable:
+    """One jit wrapper per unravel closure, so repeated ``.params`` reads
+    reuse the compiled program instead of recompiling (or dispatching
+    per-leaf eagerly)."""
+    return jax.jit(unravel)
 
 
 class FlatTrainState(struct.PyTreeNode):
@@ -52,7 +61,12 @@ class FlatTrainState(struct.PyTreeNode):
 
     @property
     def params(self):
-        return self.unravel(self.flat)
+        # Jitted: eagerly, unravel issues one slice+reshape dispatch per leaf
+        # (~400), and each eager dispatch costs ~25 ms through the axon TPU
+        # relay — tens of seconds per eval/checkpoint boundary.  One compiled
+        # call amortizes to a single dispatch; under an enclosing jit the
+        # inner jit is inlined, so the train step is unaffected.
+        return _jit_unravel(self.unravel)(self.flat)
 
     def apply_gradients(self, *, grads, **kwargs):
         g_flat, _ = ravel_pytree(grads)

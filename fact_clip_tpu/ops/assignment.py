@@ -203,7 +203,11 @@ def o2m_class_cost(cost, transcript, col_valid, nclasses: int):
     """Stage-1 inputs: per-class summed cost (M, C) and class presence (C,)."""
     onehot = jax.nn.one_hot(transcript, nclasses, dtype=cost.dtype) * col_valid[:, None]  # (S, C)
     class_present = onehot.sum(0) > 0  # (C,)
-    class_cost = cost @ onehot  # (M, C)
+    # HIGHEST: the one-hot contraction is exact summation of cost entries —
+    # default TPU precision would bf16-truncate the operands and near-tie
+    # class auctions could flip vs the f32 math (same rationale as the
+    # a2f/f2a einsums in models/blocks.py).
+    class_cost = jnp.matmul(cost, onehot, precision=jax.lax.Precision.HIGHEST)  # (M, C)
     return class_cost, class_present
 
 

@@ -275,7 +275,14 @@ def compare(ref_runs, our_runs, holdout=False):
     def final_metrics(runs):
         out = {}
         for k in keys:
-            vals = [r["evals"][-1][k] for r in runs if r["evals"] and k in r["evals"][-1]]
+            if "-seen" in k or "-unseen" in k:
+                # holdout-split keys may be absent from a non-holdout log
+                vals = [r["evals"][-1][k] for r in runs
+                        if r["evals"] and k in r["evals"][-1]]
+            else:
+                # core keys must exist in every run — a truncated/renamed
+                # eval line should fail loudly, not shrink the average
+                vals = [r["evals"][-1][k] for r in runs]
             out[k] = sum(vals) / len(vals) if vals else float("nan")
         return out
 
