@@ -1,0 +1,78 @@
+"""The bench TPU-relay gate: stale fallback only on hangs, not on breakage.
+
+bench.py probes ``jax.devices()`` in a subprocess before measuring.  Two
+failure modes must be told apart:
+
+- the probe HANGS (TimeoutExpired): the axon relay is down — emit the last
+  on-hardware result marked ``"stale": true`` so the driver artifact stays
+  informative (exit 0);
+- the probe exits nonzero FAST: a code/env regression — exit 1 so the
+  regression is not masked behind a successful-looking stale emit.
+
+These paths only execute during outages, so they get unit coverage here.
+"""
+
+import json
+import subprocess
+
+import pytest
+
+
+@pytest.fixture()
+def bench(monkeypatch, tmp_path):
+    import bench as bench_mod
+
+    # no real sleeping between probe attempts
+    monkeypatch.setattr(bench_mod.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench_mod, "LAST_GOOD", str(tmp_path / "last_good.json"))
+    return bench_mod
+
+
+def _probe_result(returncode):
+    class R:
+        pass
+
+    r = R()
+    r.returncode = returncode
+    r.stderr = b"boom"
+    return r
+
+
+def test_probe_success_returns(bench, monkeypatch):
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _probe_result(0))
+    bench._wait_for_tpu(max_wait_s=0.01, probe_timeout_s=0.01)  # no exit
+
+
+def test_fast_probe_failure_exits_nonzero(bench, monkeypatch, capsys):
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _probe_result(1))
+    with pytest.raises(SystemExit) as e:
+        bench._wait_for_tpu(max_wait_s=0.01, probe_timeout_s=0.01)
+    assert e.value.code == 1
+    assert capsys.readouterr().out == ""  # nothing emitted for the driver
+
+
+def test_timeout_emits_stale_last_good(bench, monkeypatch, capsys):
+    last = {"metric": "frames_per_sec_per_chip", "value": 123.0}
+    with open(bench.LAST_GOOD, "w") as f:
+        json.dump(last, f)
+
+    def hang(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=k.get("timeout", 1))
+
+    monkeypatch.setattr(subprocess, "run", hang)
+    with pytest.raises(SystemExit) as e:
+        bench._wait_for_tpu(max_wait_s=0.01, probe_timeout_s=0.01)
+    assert e.value.code == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["stale"] is True and out["value"] == 123.0
+
+
+def test_timeout_without_last_good_exits_nonzero(bench, monkeypatch, capsys):
+    def hang(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=k.get("timeout", 1))
+
+    monkeypatch.setattr(subprocess, "run", hang)
+    with pytest.raises(SystemExit) as e:
+        bench._wait_for_tpu(max_wait_s=0.01, probe_timeout_s=0.01)
+    assert e.value.code == 1
+    assert capsys.readouterr().out == ""
