@@ -25,9 +25,13 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-SUITES = ["verify_stack_bwd.py", "verify_pallas_mha.py", "verify_pallas_dropout.py",
-          "verify_x2y_bwd.py", "verify_frame_loss.py", "verify_sa_layer.py",
-          "verify_assignment.py"]
+# Ordered so the kernels most recently changed (i.e. least recently
+# hardware-verified) run first — if the relay drops mid-run, the artifact
+# still covers the riskiest code.  verify_x2y_bwd is also the slowest
+# suite (~21 min of compiles), so it goes last.
+SUITES = ["verify_sa_layer.py", "verify_frame_loss.py", "verify_assignment.py",
+          "verify_stack_bwd.py", "verify_pallas_mha.py", "verify_pallas_dropout.py",
+          "verify_x2y_bwd.py"]
 
 LINE = re.compile(r"^(PASS|FAIL)\s+(\S.*?)(?:\s+rel-err\s+([0-9.e+-]+))?\s*$")
 
