@@ -71,6 +71,28 @@ def build_clip_bundle(cfg, text_embeddings: np.ndarray, holdout_classes) -> dict
     }
 
 
+def build_model(cfg, in_dim: int, nclasses: int, s_pred_cap: int, *,
+                clip_dim: int = 512, vids=None, nids=None):
+    """Model-family dispatch (vanilla FACT / FACT_CLIP / epic verb-noun).
+
+    Factored out of ``build_experiment`` so ``engine.export`` can rebuild a
+    parameter-tree-identical model under a Pallas-platform override for AOT
+    cross-compilation.
+    """
+    if bool(cfg.use_clip):
+        from ..models.clip_model import build_fact_clip
+
+        return build_fact_clip(cfg, in_dim, nclasses, s_pred_cap, clip_dim)
+    if cfg.dataset == "epic":
+        from ..models.verbnoun import build_verbnoun_fact
+
+        n1 = int(vids.max()) + 1
+        n2 = int(nids.max()) + 1
+        return build_verbnoun_fact(cfg, in_dim, vids, nids, s_pred_cap,
+                                   n_classes1=n1, n_classes2=n2)
+    return build_fact(cfg, in_dim, nclasses, s_pred_cap)
+
+
 def build_experiment(cfg, text_embeddings: np.ndarray | None = None, seed: int = 0) -> Experiment:
     if cfg.TPU.matmul_precision:
         jax.config.update("jax_default_matmul_precision", cfg.TPU.matmul_precision)
@@ -90,28 +112,22 @@ def build_experiment(cfg, text_embeddings: np.ndarray | None = None, seed: int =
         clip_bundle = build_clip_bundle(cfg, text_embeddings, holdout)
 
     verbnoun = cfg.dataset == "epic" and not use_clip
-    if use_clip:
-        from ..models.clip_model import build_fact_clip
-
-        clip_dim = int(text_embeddings.shape[1]) if text_embeddings is not None else 512
-        model = build_fact_clip(cfg, dataset.input_dimension, dataset.nclasses, s_pred_cap, clip_dim)
-    elif verbnoun:
-        from ..models.verbnoun import build_verbnoun_fact, load_vids_nids
-
+    if verbnoun:
         from ..home import get_project_base
+        from ..models.verbnoun import load_vids_nids
 
         processed_dir = (
             os.path.dirname(cfg.map_fname) if cfg.map_fname
             else get_project_base() + "data/epic-kitchens/processed"
         )
         vids, nids = load_vids_nids(processed_dir)
-        n1 = int(vids.max()) + 1
-        n2 = int(nids.max()) + 1
-        model = build_verbnoun_fact(
-            cfg, dataset.input_dimension, vids, nids, s_pred_cap, n_classes1=n1, n_classes2=n2
-        )
     else:
-        model = build_fact(cfg, dataset.input_dimension, dataset.nclasses, s_pred_cap)
+        vids = nids = None
+    clip_dim = int(text_embeddings.shape[1]) if text_embeddings is not None else 512
+    model = build_model(
+        cfg, dataset.input_dimension, dataset.nclasses, s_pred_cap,
+        clip_dim=clip_dim, vids=vids, nids=nids,
+    )
 
     cweight = losses_mod.build_class_weights(cfg, dataset.nclasses, dataset.bg_class)
 

@@ -85,10 +85,17 @@ def _block_cfg_from(node, kind: str, pallas: bool = False, dtype: str = "",
     )
 
 
+# engine.export sets this to lower for a platform other than the live
+# backend (AOT cross-compilation: Mosaic lowering needs no TPU device).
+_PALLAS_PLATFORM_OVERRIDE: Optional[str] = None
+
+
 def _want_pallas(cfg) -> bool:
     """Pallas kernels run on the TPU backend only (Mosaic lowering)."""
     if "TPU" not in cfg or not cfg.TPU.pallas:
         return False
+    if _PALLAS_PLATFORM_OVERRIDE is not None:
+        return _PALLAS_PLATFORM_OVERRIDE == "tpu"
     import jax
 
     return jax.default_backend() == "tpu"
