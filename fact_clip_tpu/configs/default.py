@@ -175,6 +175,11 @@ TPU.data_axis = "data"  # mesh axis name for data parallelism
 TPU.seq_axis = "seq"  # mesh axis name for sequence (time) sharding
 TPU.num_data_shards = -1  # -1 -> all visible devices on the data axis
 TPU.num_seq_shards = 1  # time-axis shards for very long videos
+# >1: outermost DCN data-parallel axis for multi-slice pods — batch shards
+# over slice x data, gradient all-reduce lowers hierarchically (ICI
+# reduce-scatter within a slice, small cross-slice DCN exchange); seq
+# sharding stays strictly intra-slice (parallel/mesh.py::make_hybrid_mesh)
+TPU.num_slice_shards = 1
 TPU.pallas = True  # use Pallas kernels for the hot ops when available
 TPU.pallas_attn = True  # fused SCA multi-head attention kernel (needs TPU.pallas)
 TPU.pallas_sa = True  # fused SA/FFN action-token sublayer kernels (needs TPU.pallas)

@@ -128,35 +128,46 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
     # mesh and replicate state; GSPMD handles every collective — ICI within a
     # slice, DCN across slices (tests/test_parallel.py, tests/test_multihost.py)
     mesh = None
+    batch_data_axes = "data"  # PartitionSpec axes carrying the batch dim
     n_dev = jax.device_count()  # global across processes
     if (n_dev > 1 or n_proc > 1) and cfg.TPU.num_data_shards != 1:
         from ..parallel import mesh as mesh_lib
 
+        n_slice = max(1, cfg.TPU.num_slice_shards)
         n_seq = max(1, cfg.TPU.num_seq_shards)
         if cfg.TPU.num_data_shards > 0:
             n_data = cfg.TPU.num_data_shards
-            assert cfg.batch_size % n_data == 0, (
-                f"batch_size {cfg.batch_size} not divisible by num_data_shards {n_data}"
+            assert cfg.batch_size % (n_slice * n_data) == 0, (
+                f"batch_size {cfg.batch_size} not divisible by "
+                f"num_slice_shards*num_data_shards {n_slice}*{n_data}"
             )
         else:
             # auto: the largest batch divisor that fits the devices
             n_data = 1
-            for cand in range(min(n_dev // n_seq, cfg.batch_size), 0, -1):
-                if cfg.batch_size % cand == 0:
+            for cand in range(min(n_dev // (n_slice * n_seq),
+                                  max(1, cfg.batch_size // n_slice)), 0, -1):
+                if cfg.batch_size % (n_slice * cand) == 0:
                     n_data = cand
                     break
-        if n_data * n_seq > 1:
-            assert n_data % n_proc == 0 or n_proc == 1, (
-                f"data shards {n_data} must be a multiple of process count {n_proc}"
+        if n_slice * n_data * n_seq > 1:
+            assert (n_slice * n_data) % n_proc == 0 or n_proc == 1, (
+                f"data shards {n_slice}x{n_data} must be a multiple of process count {n_proc}"
             )
-            mesh = mesh_lib.make_mesh(n_data=n_data, n_seq=n_seq)
+            if n_slice > 1:
+                # multi-slice pod: DCN-outer slice axis carries only DP
+                mesh = mesh_lib.make_hybrid_mesh(n_slice=n_slice, n_data=n_data, n_seq=n_seq)
+                batch_data_axes = ("slice", "data")
+            else:
+                mesh = mesh_lib.make_mesh(n_data=n_data, n_seq=n_seq)
             if n_proc > 1:
                 from ..parallel import distributed as dist_lib
 
                 state = dist_lib.replicate_global(mesh, state)
             else:
                 state = mesh_lib.replicate_tree(mesh, state)
-            print(f"Mesh: data={n_data} x seq={n_seq} over {n_dev} devices"
+            print(f"Mesh: "
+                  + (f"slice={n_slice} x " if n_slice > 1 else "")
+                  + f"data={n_data} x seq={n_seq} over {n_dev} devices"
                   + (f" across {n_proc} processes" if n_proc > 1 else ""))
     assert not (n_proc > 1 and mesh is None), (
         "multi-process execution requires a data mesh (cfg.TPU.num_data_shards != 1)"
@@ -185,8 +196,9 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
         if n_proc > 1:
             from ..parallel import distributed as dist_lib
 
-            return dist_lib.form_global_batch(mesh, arrays, mesh_lib.batch_specs_2d())
-        return mesh_lib.shard_batch_2d(mesh, arrays)
+            return dist_lib.form_global_batch(
+                mesh, arrays, mesh_lib.batch_specs_2d(data_axis=batch_data_axes))
+        return mesh_lib.shard_batch_2d(mesh, arrays, data_axis=batch_data_axes)
 
     def fetch_local(arr):
         """Per-video outputs of a sharded step: this process's rows."""
@@ -208,7 +220,7 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
             from ..parallel import distributed as dist_lib
 
             return dist_lib.form_global_batch(mesh, arrays, {})  # all P() = replicated
-        return mesh_lib.shard_batch_2d(mesh, arrays)
+        return mesh_lib.shard_batch_2d(mesh, arrays, data_axis=batch_data_axes)
 
     def fetch_eval(arr):
         if n_proc > 1:

@@ -165,3 +165,41 @@ def test_train_step_on_2d_mesh():
     # numerics match the unsharded step
     _, out2 = train_step(state2, dict(batch), jax.random.PRNGKey(0))
     np.testing.assert_allclose(float(out["loss"]), float(out2["loss"]), rtol=1e-4)
+
+
+def test_make_hybrid_mesh_shapes():
+    m = mesh_lib.make_hybrid_mesh(n_slice=2, n_data=2, n_seq=2)
+    assert m.devices.shape == (2, 2, 2)
+    assert m.axis_names == ("slice", "data", "seq")
+    # defaults: single virtual slice, all devices on data
+    m2 = mesh_lib.make_hybrid_mesh(n_seq=2)
+    assert m2.devices.shape == (1, 4, 2)
+
+
+def test_train_step_on_hybrid_mesh():
+    """Full train step under the multi-slice (DCN-outer) mesh layout: batch
+    sharded over slice x data, time over seq, numerics equal to unsharded."""
+    from fact_clip_tpu.engine.state import create_train_state
+    from fact_clip_tpu.engine.steps import make_step_fns
+    from fact_clip_tpu.models import losses
+
+    cfg, model, params, batch, C = _small_model_and_batch()
+    cfg.TPU.matcher = "auction"
+    cweight = losses.build_class_weights(cfg, C, [0])
+    train_step, _ = make_step_fns(model, cfg, C, cweight)
+
+    m = mesh_lib.make_hybrid_mesh(n_slice=2, n_data=1, n_seq=4)
+    fresh = jax.tree_util.tree_map(jnp.array, params["params"])
+    state = create_train_state(model, fresh, cfg, steps_per_epoch=10)
+    state = mesh_lib.replicate_tree(m, state)
+    state2 = create_train_state(
+        model, jax.tree_util.tree_map(jnp.array, params["params"]), cfg, steps_per_epoch=10
+    )
+    sharded = mesh_lib.shard_batch_hybrid(m, batch)
+    assert sharded["feats"].sharding.spec == P(("slice", "data"), "seq", None)
+
+    state, out = train_step(state, sharded, jax.random.PRNGKey(0))
+    assert np.isfinite(float(out["loss"]))
+
+    _, out2 = train_step(state2, dict(batch), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(out["loss"]), float(out2["loss"]), rtol=1e-4)
