@@ -29,6 +29,10 @@ echo "bench_epic rc=$?" >> "$LOG"
 timeout 2400 python scripts/profile_batch_sweep.py >> "$LOG" 2>&1
 echo "batch_sweep rc=$?" >> "$LOG"
 
+# 5b. AOT serving artifact latency vs the live eval step
+timeout 2400 python scripts/bench_serving.py >> "$LOG" 2>&1
+echo "bench_serving rc=$?" >> "$LOG"
+
 # 6. attribute the post-SA-fusion tail: diff the fresh trace (stage 3)
 #    against the archived pre-SA-fusion trace, if that archive still exists
 if [ -d /tmp/train_trace_b8g ]; then
