@@ -145,6 +145,20 @@ RECIPES["transcript"] = (
 # verb/noun mappings from cwd-relative paths (blocks_SepVerbNoun.py:156-159,
 # satisfied because run_reference runs with cwd=workdir), so the fixture
 # declares full 98-verb/301-noun vocabularies with 11 composed actions.
+# Stochastic input augmentations ON — what the production gtea.yaml
+# actually trains with: channel-masking dropout (FACT.cmr 0.5, reference
+# blocks.py:60-63 via nn.Dropout2d) and SpecAugment-style temporal span
+# zeroing (TM t=60 m=5 p=0.1, basic.py:10-36, applied to the raw input
+# features).  Each stack draws its own augmentation RNG, so this proves the
+# masking schemes are *distributionally* equivalent through training — the
+# last stochastic-training dimension without from-scratch proof (dropout is
+# covered by every recipe above).
+RECIPES["aug"] = (
+    _RECIPE_BASE.replace("cmr: 0.0", "cmr: 0.5")
+    % {"f": "m", "optim": "optimizer: Adam\nlr: 0.001\nlr_decay: -1"}
+    + "TM: {use: true, t: 60, m: 5, p: 0.1, inplace: true}\n"
+)
+
 RECIPES["epic"] = (
     _RECIPE_BASE.replace("dataset: gtea", "dataset: epic")
     .replace("match: o2o", "match: o2m")

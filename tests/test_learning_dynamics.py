@@ -152,3 +152,21 @@ def test_learning_dynamics_parity_o2m(tmp_path):
     for c in summary["checks"]:
         print(("PASS" if c["pass"] else "FAIL"), c)
     assert ok, summary["checks"]
+
+
+def test_learning_dynamics_parity_aug(tmp_path):
+    """Stochastic input augmentations on — the production gtea.yaml setup:
+    channel-masking dropout (cmr 0.5) + temporal span zeroing (TM t=60 m=5
+    p=0.1).  Each stack draws its own augmentation RNG, so this validates
+    the masking schemes are distributionally equivalent end to end."""
+    import learning_dynamics as ld
+
+    workdir = str(tmp_path)
+    cfg_path = ld.make_fixture(workdir, recipe="aug")
+    ref_runs = [ld.run_reference(workdir, cfg_path, 1)]
+    our_runs = [ld.run_ours(workdir, cfg_path, 1)]
+
+    summary, ok = ld.compare(ref_runs, our_runs)
+    for c in summary["checks"]:
+        print(("PASS" if c["pass"] else "FAIL"), c)
+    assert ok, summary["checks"]
