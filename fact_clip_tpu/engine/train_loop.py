@@ -130,7 +130,9 @@ def run_train(cfg, text_embeddings=None, base_dir=None):
     mesh = None
     batch_data_axes = "data"  # PartitionSpec axes carrying the batch dim
     n_dev = jax.device_count()  # global across processes
-    if (n_dev > 1 or n_proc > 1) and cfg.TPU.num_data_shards != 1:
+    if (n_dev > 1 or n_proc > 1) and (
+        cfg.TPU.num_data_shards != 1 or cfg.TPU.num_slice_shards > 1
+    ):
         from ..parallel import mesh as mesh_lib
 
         n_slice = max(1, cfg.TPU.num_slice_shards)
