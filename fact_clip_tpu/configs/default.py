@@ -181,6 +181,11 @@ TPU.num_seq_shards = 1  # time-axis shards for very long videos
 # sharding stays strictly intra-slice (parallel/mesh.py::make_hybrid_mesh)
 TPU.num_slice_shards = 1
 TPU.pallas = True  # use Pallas kernels for the hot ops when available
+# "int8": evaluation/serving runs the MSTCN towers on int8 MXU matmuls
+# (2x bf16 peak on v5e) with dynamic per-frame activation scales and
+# per-channel weight scales (ops/pallas/quant_conv.py).  Training and the
+# non-'m' frame branches are unaffected.  "" disables.
+TPU.quantize_infer = ""
 TPU.pallas_attn = True  # fused SCA multi-head attention kernel (needs TPU.pallas)
 TPU.pallas_sa = True  # fused SA/FFN action-token sublayer kernels (needs TPU.pallas)
 TPU.prefetch = 2  # host pipeline prefetch depth

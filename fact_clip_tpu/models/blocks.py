@@ -58,15 +58,18 @@ class BlockCfg:
     pallas: bool = False
     pallas_attn: bool = True
     pallas_sa: bool = True
+    quantize: str = ""  # "int8": quantized inference MSTCN towers (eval only)
     dtype: str = ""  # "" = float32; "bfloat16" = mixed precision (layers.py policy)
 
 
 def _block_cfg_from(node, kind: str, pallas: bool = False, dtype: str = "",
-                    pallas_attn: bool = True, pallas_sa: bool = True) -> BlockCfg:
+                    pallas_attn: bool = True, pallas_sa: bool = True,
+                    quantize: str = "") -> BlockCfg:
     return BlockCfg(
         pallas=pallas,
         pallas_attn=pallas_attn,
         pallas_sa=pallas_sa,
+        quantize=quantize,
         dtype=dtype,
         kind=kind,
         hid_dim=node.hid_dim,
@@ -118,19 +121,23 @@ def resolve_block_cfgs(cfg) -> Tuple[BlockCfg, ...]:
     dtype = _compute_dtype(cfg)
     pattn = bool(getattr(cfg.TPU, "pallas_attn", True)) if "TPU" in cfg else True
     psa = bool(getattr(cfg.TPU, "pallas_sa", True)) if "TPU" in cfg else True
+    quant = str(getattr(cfg.TPU, "quantize_infer", "") or "") if "TPU" in cfg else ""
+    assert quant in ("", "int8"), f"Unsupported TPU.quantize_infer {quant!r}"
+    # the int8 towers are Pallas kernels — no Pallas backend, no quantization
+    quant = quant if pallas else ""
     base = cfg.Bi
     out = []
     for t in cfg.FACT.block:
         if t in ("i", "I"):
-            out.append(_block_cfg_from(cfg.Bi, t, pallas, dtype, pattn, psa))
+            out.append(_block_cfg_from(cfg.Bi, t, pallas, dtype, pattn, psa, quant))
         elif t == "u":
             update_from(cfg.Bu, base, inplace=True)
             base = cfg.Bu
-            out.append(_block_cfg_from(cfg.Bu, t, pallas, dtype, pattn, psa))
+            out.append(_block_cfg_from(cfg.Bu, t, pallas, dtype, pattn, psa, quant))
         elif t == "U":
             update_from(cfg.BU, base, inplace=True)
             base = cfg.BU
-            out.append(_block_cfg_from(cfg.BU, t, pallas, dtype, pattn, psa))
+            out.append(_block_cfg_from(cfg.BU, t, pallas, dtype, pattn, psa, quant))
         else:
             raise ValueError(f"Unknown block type {t!r}")
     return tuple(out)
@@ -171,7 +178,7 @@ def make_fbranch(c: BlockCfg, in_dim: Optional[int], name: str):
         return L.MSTCN(
             in_dim=in_dim, hid_dim=c.f_dim, out_dim=c.hid_dim, num_layers=c.f_layers,
             dropout=c.dropout, ln=c.f_ln, ngroup=c.f_ngp, in_map=f_inmap,
-            use_pallas=c.pallas, dtype=_jdtype(c), name=name,
+            use_pallas=c.pallas, quantize=c.quantize, dtype=_jdtype(c), name=name,
         )
     if c.f == "m2":
         return L.MSTCN2(

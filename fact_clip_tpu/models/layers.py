@@ -253,6 +253,7 @@ class MSTCN(nn.Module):
     ngroup: int = 1
     in_map: bool = False
     use_pallas: bool = False
+    quantize: str = ""  # "int8": quantized inference towers (eval only)
     dtype: Any = None
 
     @nn.compact
@@ -276,23 +277,35 @@ class MSTCN(nn.Module):
         if self.use_pallas and self.ngroup == 1:
             # fused tower: one halo pad + N kernels + one slice instead of a
             # pad/slice round trip per layer (ops/pallas/dilated_conv.py)
-            from ..ops.pallas.dilated_conv import dilated_residual_stack
-
             rate = 0.0 if deterministic else float(self.dropout)
             L = self.num_layers
-            if rate > 0.0:
-                bits = jax.random.randint(
-                    self.make_rng("dropout"), (L, 1), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+            if self.quantize == "int8" and deterministic:
+                # int8 MXU tower (2x bf16 peak): eval path only — the
+                # rounding step is not differentiated (ops/pallas/quant_conv)
+                from ..ops.pallas.quant_conv import dilated_residual_stack_q8
+
+                x = dilated_residual_stack_q8(
+                    _cast(x, self.dtype), mask,
+                    [l.param_tuple() for l in layers],
+                    [self.dilation_factor**i for i in range(L)],
+                    use_ln=self.ln,
                 )
-                seeds = tuple(bits[i] for i in range(L))
             else:
-                seeds = None
-            x = dilated_residual_stack(
-                _cast(x, self.dtype), mask,
-                [l.param_tuple() for l in layers],
-                [self.dilation_factor**i for i in range(L)],
-                use_ln=self.ln, rates=(rate,) * L, seeds=seeds,
-            )
+                from ..ops.pallas.dilated_conv import dilated_residual_stack
+
+                if rate > 0.0:
+                    bits = jax.random.randint(
+                        self.make_rng("dropout"), (L, 1), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+                    )
+                    seeds = tuple(bits[i] for i in range(L))
+                else:
+                    seeds = None
+                x = dilated_residual_stack(
+                    _cast(x, self.dtype), mask,
+                    [l.param_tuple() for l in layers],
+                    [self.dilation_factor**i for i in range(L)],
+                    use_ln=self.ln, rates=(rate,) * L, seeds=seeds,
+                )
         else:
             for layer in layers:
                 x = layer(x, mask, deterministic)

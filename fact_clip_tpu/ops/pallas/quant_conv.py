@@ -1,0 +1,193 @@
+"""Int8-quantized fused MSTCN tower (inference-only).
+
+The bf16 fused stack (`dilated_conv.py::dilated_residual_stack`) already
+runs the towers at the v5e bf16 MXU roofline — the only way past that
+ceiling is narrower arithmetic: the v5e MXU executes int8 x int8 -> int32
+matmuls at 2x the bf16 rate (394 TOPS vs 197 TFLOP/s).  This kernel keeps
+the tower's structure (one halo pad at entry, one slice at exit, extended
+inter-layer buffers) but runs the four matmuls per layer — three dilation
+taps + the 1x1 conv — on int8 operands:
+
+- **weights**: symmetric per-output-channel (per-tap for the dilated
+  conv), quantized on the fly from the live f32/bf16 params with one tiny
+  elementwise pass per step (no checkpoint-format change, no extra param
+  collections);
+- **activations**: dynamic symmetric per-row (per-frame) quantization on
+  the VPU inside the kernel — each row's absmax becomes its scale, so the
+  dequantization factor of a dot output is the rank-1 outer product
+  ``row_scale x col_scale`` and is applied as two cheap broadcasts;
+- everything that carries the numerics — bias, ReLU, residual add,
+  LayerNorm — stays in f32, and the inter-layer stream keeps the model
+  compute dtype, exactly like the bf16 kernel.
+
+Mirrors the reference semantics of fact_clip/models/basic.py:131-220 (the
+reference has no quantized path; this is net-new capability).  Inference
+only: the rounding step is not differentiated — training always uses the
+bf16/f32 stack.  Enable with ``cfg.TPU.quantize_infer = "int8"``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dilated_conv import _stack_layout
+
+
+def quantize_weight(w, axis: int = -2):
+    """Symmetric per-output-channel int8 weights.
+
+    ``w`` is (..., C_in, C_out); the scale is the absmax over ``axis``
+    (C_in), one per output channel (and per leading tap for conv kernels).
+    Returns (q, scale) with ``w ~= q * scale * 127`` — the returned scale
+    already folds BOTH 1/127 factors (weight and activation), so a dot
+    output dequantizes as ``idot * row_absmax * scale``.
+    """
+    w = w.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=axis, keepdims=True), 1e-12)
+    q = jnp.round(w * (127.0 / s)).astype(jnp.int8)
+    return q, jnp.squeeze(s, axis=axis) / (127.0 * 127.0)
+
+
+def _quantize_rows(x):
+    """Dynamic symmetric per-row int8: returns (q_int8, raw row absmax).
+
+    Rows holding halo garbage (never-written memory) quantize to garbage
+    — callers must mask those rows out of the int8 operand afterwards,
+    exactly like the bf16 kernel masks its halo reads.
+    """
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-12)
+    q = jnp.round(x * (127.0 / s)).astype(jnp.int8)
+    return q, s
+
+
+def _stack_kernel_q8(len_ref, x_ref, qwd_ref, swd_ref, bd_ref, qw1_ref, sw1_ref,
+                     b1_ref, g_ref, beta_ref, o_ref, *, dilation: int, halo: int,
+                     tile: int, use_ln: bool, eps: float, n_tiles: int):
+    d, hp = dilation, halo
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    # quantize the whole VMEM window once; the three taps are row-shifted
+    # static slices of the same int8 buffer + scale vector
+    xw = x_ref[0, :, :].astype(jnp.float32)  # (tile + 2*halo, C)
+    qx, sx = _quantize_rows(xw)
+
+    q_left = qx[hp - d : hp - d + tile, :]
+    q_mid = qx[hp : hp + tile, :]
+    q_right = qx[hp + d : hp + d + tile, :]
+    s_left = sx[hp - d : hp - d + tile, :]
+    s_mid = sx[hp : hp + tile, :]
+    s_right = sx[hp + d : hp + d + tile, :]
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    pos = t * tile + row
+    # edge reads into unwritten halo garbage: zero the int8 rows whose
+    # absolute center-time falls outside [0, T_pad) (conv SAME zero pad);
+    # absolute conditions — with dilation > tile the garbage spans tiles
+    zero8 = jnp.zeros((), jnp.int8)
+    q_left = jnp.where(pos < d, zero8, q_left)
+    q_right = jnp.where(pos >= n_tiles * tile - d, zero8, q_right)
+    # ... and their row scales: garbage rows quantize to garbage scales, and
+    # NaN * zeroed-int8-dot is still NaN in the dequant multiply
+    s_left = jnp.where(pos < d, 0.0, s_left)
+    s_right = jnp.where(pos >= n_tiles * tile - d, 0.0, s_right)
+
+    acc = jnp.dot(q_left, qwd_ref[0], preferred_element_type=jnp.int32)
+    acc = acc.astype(jnp.float32) * s_left * swd_ref[0][None, :]
+    a1 = jnp.dot(q_mid, qwd_ref[1], preferred_element_type=jnp.int32)
+    acc += a1.astype(jnp.float32) * s_mid * swd_ref[1][None, :]
+    a2 = jnp.dot(q_right, qwd_ref[2], preferred_element_type=jnp.int32)
+    acc += a2.astype(jnp.float32) * s_right * swd_ref[2][None, :]
+    acc = jax.nn.relu(acc + bd_ref[:].astype(jnp.float32))
+
+    qa, sa = _quantize_rows(acc)
+    out = jnp.dot(qa, qw1_ref[:], preferred_element_type=jnp.int32)
+    out = out.astype(jnp.float32) * sa * sw1_ref[:][None, :]
+    out = out + b1_ref[:].astype(jnp.float32)
+    mid_f = xw[hp : hp + tile, :]
+    out = out + mid_f
+
+    if use_ln:
+        mean = out.mean(axis=-1, keepdims=True)
+        var = ((out - mean) ** 2).mean(axis=-1, keepdims=True)
+        out = (out - mean) * jax.lax.rsqrt(var + eps)
+        out = out * g_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
+
+    # write-mask: padded frames stay zero in the inter-layer buffer
+    mask = ((t * tile + row) < len_ref[b]).astype(jnp.float32)
+    o_ref[0, :, :] = (out * mask).astype(o_ref.dtype)
+
+
+def _stack_layer_q8(x_ext, lengths, qwd, swd, bd, qw1, sw1, b1, gamma, beta, *,
+                    dilation: int, halo_max: int, tile: int, n_tiles: int,
+                    use_ln: bool, eps: float, interpret: bool):
+    """One quantized layer on the extended buffer (same layout contract as
+    dilated_conv._stack_layer: read window spans only this layer's halo,
+    output halo regions are never written)."""
+    B, T_ext, C = x_ext.shape
+    halo_d = -(-dilation // 8) * 8
+    off = halo_max - halo_d
+    assert halo_max % tile == 0
+    kernel = functools.partial(
+        _stack_kernel_q8, dilation=dilation, halo=halo_d, tile=tile,
+        use_ln=use_ln, eps=eps, n_tiles=n_tiles,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(tile + 2 * halo_d), pl.Element(C)),
+                lambda b, t: (b, (t * (tile // 8) + off // 8) * 8, 0),
+            ),
+            pl.BlockSpec((3, C, C), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((3, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+            pl.BlockSpec((C, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, C), lambda b, t: (b, t + halo_max // tile, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T_ext, C), x_ext.dtype),
+        interpret=interpret,
+    )(lengths, x_ext, qwd, swd, bd, qw1, sw1, b1, gamma, beta)
+
+
+def dilated_residual_stack_q8(x, mask, layers, dilations, *, use_ln: bool = True,
+                              eps: float = 1e-5, tile: int = 512,
+                              interpret: bool = False):
+    """Int8 fused MSTCN tower: N quantized dilated-residual layers, one pad,
+    one slice.  Same signature contract as ``dilated_residual_stack`` minus
+    dropout (inference-only path — eval never drops).
+
+    x: (B, T, C); mask: (B, T) bool; layers: sequence of parameter tuples
+    (wd, bd, w1, b1, gamma, beta) in f32/bf16 — weights are quantized here,
+    per step, with one tiny elementwise pass each.
+    """
+    B, T, C = x.shape
+    dilations = tuple(int(d) for d in dilations)
+    tile, n_tiles, T_pad, halo = _stack_layout(T, dilations, tile)
+
+    xm = x * mask[:, :, None].astype(x.dtype)
+    x_ext = jnp.pad(xm, ((0, 0), (halo, halo + (T_pad - T)), (0, 0)))
+    lengths = mask.astype(jnp.int32).sum(axis=1)
+
+    for (wd, bd, w1, b1, gamma, beta), d in zip(layers, dilations):
+        qwd, swd = quantize_weight(wd)  # (3,C,C) int8, (3,C)
+        qw1, sw1 = quantize_weight(w1)  # (C,C) int8, (C,)
+        x_ext = _stack_layer_q8(
+            x_ext, lengths, qwd, swd, bd, qw1, sw1, b1,
+            gamma if gamma is not None else jnp.ones((C,), jnp.float32),
+            beta if beta is not None else jnp.zeros((C,), jnp.float32),
+            dilation=d, halo_max=halo, tile=tile, n_tiles=n_tiles,
+            use_ln=use_ln, eps=eps, interpret=interpret,
+        )
+    return x_ext[:, halo : halo + T]

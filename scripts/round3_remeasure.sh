@@ -33,6 +33,10 @@ echo "batch_sweep rc=$?" >> "$LOG"
 timeout 2400 python scripts/bench_serving.py >> "$LOG" 2>&1
 echo "bench_serving rc=$?" >> "$LOG"
 
+# 5c. int8-quantized inference towers vs the f32 fused path
+timeout 2400 python scripts/bench_quant.py >> "$LOG" 2>&1
+echo "bench_quant rc=$?" >> "$LOG"
+
 # 6. attribute the post-SA-fusion tail: diff the fresh trace (stage 3)
 #    against the archived pre-SA-fusion trace, if that archive still exists
 if [ -d /tmp/train_trace_b8g ]; then

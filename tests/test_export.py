@@ -162,3 +162,24 @@ def test_transcript_mode_export(fixture_base, tmp_path):
     preds = serving.predict(feats, transcripts=trs)
     for v, p in zip(vnames, preds):
         np.testing.assert_array_equal(p, want[v])
+
+
+def test_tpu_artifact_cross_compiles_quantized(fixture_base, tmp_path):
+    """TPU.quantize_infer=int8 bakes the int8 towers into the TPU artifact
+    (Mosaic lowering is device-independent, so this works from CPU too)."""
+    from fact_clip_tpu.engine.setup import build_experiment
+
+    cfg = smoke_cfg(fixture_base)
+    cfg.batch_size = 2
+    cfg.TPU.quantize_infer = "int8"
+    exp2 = build_experiment(cfg)
+    L = exp2.buckets[0]
+    exported, meta = export_serving(exp2, platforms=("tpu",), bucket_lengths=[L])
+    assert meta["pallas"] is True
+    assert "quantize_infer: int8" in meta["cfg"]
+    e = exported[L]
+    assert "tpu_custom_call" in e.mlir_module()
+    path = str(tmp_path / "tpu_q8.factserve")
+    save_serving(path, exported, meta)
+    serving = load_serving(path)
+    assert serving.meta["platforms"] == ["tpu"]

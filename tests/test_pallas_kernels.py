@@ -1131,3 +1131,121 @@ def test_sa_layer_fused_bf16(rng):
 
     gp, gx = jax.grad(f, argnums=(0, 1))(params, x)
     _assert_cotangent_dtypes((params, x), (gp, gx))
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized inference stack (ops/pallas/quant_conv.py)
+
+
+@pytest.mark.parametrize("use_ln", [True, False])
+def test_q8_stack_close_to_f32(rng, use_ln):
+    """Int8 tower tracks the f32 fused tower within dynamic-quant tolerance
+    (per-row activation + per-channel weight scales: ~0.5% relative)."""
+    from fact_clip_tpu.ops.pallas.dilated_conv import dilated_residual_stack
+    from fact_clip_tpu.ops.pallas.quant_conv import dilated_residual_stack_q8
+
+    B, T, C = 2, 70, 32
+    dilations = [1, 2, 4, 8]
+    x = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[1, 50:] = False
+    mask = jnp.array(mask)
+    layers = [_rand_layer(rng, C) for _ in dilations]
+
+    f32 = np.asarray(dilated_residual_stack(
+        x, mask, layers, dilations, use_ln=use_ln, tile=32, interpret=True))
+    q8 = np.asarray(dilated_residual_stack_q8(
+        x, mask, layers, dilations, use_ln=use_ln, tile=32, interpret=True))
+
+    assert np.all(np.isfinite(q8))
+    rel = np.linalg.norm(q8 - f32) / np.linalg.norm(f32)
+    assert rel < 0.02, f"relative error {rel:.4f}"
+    # padded frames stay exactly zero (write-mask invariant)
+    np.testing.assert_array_equal(q8[1, 50:], 0.0)
+
+
+def test_q8_weight_roundtrip(rng):
+    """Per-channel symmetric weight quantization: reconstruction error is at
+    most half a quantization step of each channel's absmax."""
+    from fact_clip_tpu.ops.pallas.quant_conv import quantize_weight
+
+    w = jnp.array(rng.normal(size=(3, 32, 32)).astype(np.float32) * 0.08)
+    q, s = quantize_weight(w)
+    assert q.dtype == jnp.int8
+    rec = np.asarray(q, np.float32) * np.asarray(s)[:, None, :] * 127.0
+    step = np.abs(np.asarray(w)).max(axis=1, keepdims=True) / 127.0
+    assert np.all(np.abs(rec - np.asarray(w)) <= 0.5 * step + 1e-7)
+
+
+def test_mstcn_q8_path_close_to_unfused(rng):
+    """MSTCN with quantize='int8' (eval) tracks the unfused f32 module; the
+    same module under deterministic=False takes the differentiable path."""
+    import unittest.mock as mock
+
+    from fact_clip_tpu.models.layers import MSTCN
+    from fact_clip_tpu.ops.pallas import dilated_conv as dc
+    from fact_clip_tpu.ops.pallas import quant_conv as qc
+
+    B, T, D, H = 2, 60, 12, 32
+    x = jnp.array(rng.normal(size=(B, T, D)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[1, 44:] = False
+    mask = jnp.array(mask)
+
+    def interp(orig):
+        def f(*a, **kw):
+            kw["interpret"] = True
+            kw["tile"] = 32
+            return orig(*a, **kw)
+        return f
+
+    # dropout 0: the interpret-mode shim cannot run the in-kernel PRNG on CPU
+    kw = dict(in_dim=D, hid_dim=H, out_dim=H, num_layers=3, dropout=0.0,
+              ln=True, ngroup=1, in_map=True)
+    m_q8 = MSTCN(use_pallas=True, quantize="int8", **kw)
+    m_plain = MSTCN(use_pallas=False, **kw)
+    params = m_plain.init({"params": jax.random.PRNGKey(0)}, x, mask, True)
+
+    with mock.patch.object(qc, "dilated_residual_stack_q8",
+                           interp(qc.dilated_residual_stack_q8)):
+        y_q8 = m_q8.apply(params, x, mask, True)
+    y_plain = m_plain.apply(params, x, mask, True)
+    mv = np.asarray(mask)
+    a, b = np.asarray(y_q8)[mv], np.asarray(y_plain)[mv]
+    assert np.all(np.isfinite(a))
+    rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+    assert rel < 0.02, f"relative error {rel:.4f}"
+
+    # training (deterministic=False) must stay on the differentiable fused
+    # stack — int8 rounding has no gradient
+    with mock.patch.object(dc, "dilated_residual_stack",
+                           interp(dc.dilated_residual_stack)):
+        def loss(p):
+            y = m_q8.apply(p, x, mask, False, rngs={"dropout": jax.random.PRNGKey(1)})
+            return (y ** 2).sum()
+
+        g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert leaves and all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_quantize_infer_config_plumbing():
+    """cfg.TPU.quantize_infer reaches BlockCfg.quantize only when the Pallas
+    backend is available; bogus values are rejected."""
+    import unittest.mock as mock
+
+    from fact_clip_tpu.configs.default import get_cfg_defaults
+    from fact_clip_tpu.models import blocks as Bmod
+
+    cfg = get_cfg_defaults()
+    cfg.TPU.quantize_infer = "int8"
+    with mock.patch.object(Bmod, "_PALLAS_PLATFORM_OVERRIDE", "tpu"):
+        cfgs = Bmod.resolve_block_cfgs(cfg)
+    assert all(c.quantize == "int8" for c in cfgs)
+    with mock.patch.object(Bmod, "_PALLAS_PLATFORM_OVERRIDE", "cpu"):
+        cfgs = Bmod.resolve_block_cfgs(cfg)
+    assert all(c.quantize == "" for c in cfgs)
+    cfg.TPU.quantize_infer = "int4"
+    with mock.patch.object(Bmod, "_PALLAS_PLATFORM_OVERRIDE", "tpu"):
+        with pytest.raises(AssertionError):
+            Bmod.resolve_block_cfgs(cfg)
