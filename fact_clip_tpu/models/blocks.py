@@ -184,7 +184,7 @@ def make_fbranch(c: BlockCfg, in_dim: Optional[int], name: str):
         return L.MSTCN2(
             in_dim=in_dim, hid_dim=c.f_dim, out_dim=c.hid_dim, num_layers=c.f_layers,
             dropout=c.dropout, ngroup=c.f_ngp, in_map=f_inmap, dtype=_jdtype(c),
-            use_pallas=c.pallas, name=name,
+            use_pallas=c.pallas, quantize=c.quantize, name=name,
         )
     raise ValueError(f"Unknown frame branch {c.f!r}")
 

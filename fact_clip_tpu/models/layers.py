@@ -327,6 +327,7 @@ class MSTCN2(nn.Module):
     dtype: Any = None
 
     use_pallas: bool = False
+    quantize: str = ""  # "int8": quantized inference towers (eval only)
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
@@ -353,25 +354,31 @@ class MSTCN2(nn.Module):
             dil_pairs.append((d1, d2))
 
         if self.use_pallas and g == 1:
-            from ..ops.pallas.dilated_conv import dilated_residual2_stack
-
-            # dropout on all but the last layer (torch MS-TCN++ behavior)
-            rate = 0.0 if deterministic else float(self.dropout)
-            rates = [rate] * (L - 1) + [0.0]
-            if rate > 0.0:
-                bits = jax.random.randint(
-                    self.make_rng("dropout"), (L, 1), 0, jnp.iinfo(jnp.int32).max, jnp.int32
-                )
-                seeds = tuple(bits[i] for i in range(L))
-            else:
-                seeds = None
             dt = self.dtype
             stacked = [
                 (_cast(k1, dt), b1, _cast(k2, dt), b2,
                  _cast(wf[:C], dt), _cast(wf[C:], dt), bf)
                 for (k1, b1, k2, b2, wf, bf) in layer_params
             ]
-            f = dilated_residual2_stack(f, mask, stacked, dil_pairs, rates=rates, seeds=seeds)
+            if self.quantize == "int8" and deterministic:
+                # int8 MXU tower: eval path only (ops/pallas/quant_conv.py)
+                from ..ops.pallas.quant_conv import dilated_residual2_stack_q8
+
+                f = dilated_residual2_stack_q8(f, mask, stacked, dil_pairs)
+            else:
+                from ..ops.pallas.dilated_conv import dilated_residual2_stack
+
+                # dropout on all but the last layer (torch MS-TCN++ behavior)
+                rate = 0.0 if deterministic else float(self.dropout)
+                rates = [rate] * (L - 1) + [0.0]
+                if rate > 0.0:
+                    bits = jax.random.randint(
+                        self.make_rng("dropout"), (L, 1), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+                    )
+                    seeds = tuple(bits[i] for i in range(L))
+                else:
+                    seeds = None
+                f = dilated_residual2_stack(f, mask, stacked, dil_pairs, rates=rates, seeds=seeds)
         else:
             for i, ((k1, b1, k2, b2, wf, bf), (d1, d2)) in enumerate(zip(layer_params, dil_pairs)):
                 f_in = f

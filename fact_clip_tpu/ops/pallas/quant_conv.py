@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dilated_conv import _stack_layout
+from .dilated_conv import _stack_layout, _tiling
 
 
 def quantize_weight(w, axis: int = -2):
@@ -189,5 +189,123 @@ def dilated_residual_stack_q8(x, mask, layers, dilations, *, use_ln: bool = True
             beta if beta is not None else jnp.zeros((C,), jnp.float32),
             dilation=d, halo_max=halo, tile=tile, n_tiles=n_tiles,
             use_ln=use_ln, eps=eps, interpret=interpret,
+        )
+    return x_ext[:, halo : halo + T]
+
+
+# ---------------------------------------------------------------------------
+# MS-TCN++ (dual-dilation) int8 tower.  Per layer
+# (dilated_conv.py::_stack2_kernel, reference basic.py:222-281):
+#   f = relu(concat[conv_{d1}(f*m), conv_{d2}(f*m)] @ Wf + bf) + f
+# Eight int8 MXU dots per layer: two 3-tap convs + the split fuse matmuls
+# (the (tile, 2C) concat never materializes, same as the bf16 kernel).
+
+
+def _stack2_kernel_q8(len_ref, x_ref, qk1_ref, sk1_ref, b1_ref, qk2_ref, sk2_ref,
+                      b2_ref, qwt_ref, swt_ref, qwb_ref, swb_ref, bf_ref, o_ref, *,
+                      d1: int, d2: int, halo: int, tile: int, n_tiles: int):
+    hp = halo
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    xw = x_ref[0, :, :].astype(jnp.float32)
+    qx, sx = _quantize_rows(xw)
+    mid_f = xw[hp : hp + tile, :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    pos = t * tile + row
+    zero8 = jnp.zeros((), jnp.int8)
+
+    def conv3_q8(qk_ref, sk_ref, b_ref, d):
+        q_left = jnp.where(pos < d, zero8, qx[hp - d : hp - d + tile, :])
+        q_mid = qx[hp : hp + tile, :]
+        q_right = jnp.where(pos >= n_tiles * tile - d, zero8,
+                            qx[hp + d : hp + d + tile, :])
+        s_left = jnp.where(pos < d, 0.0, sx[hp - d : hp - d + tile, :])
+        s_mid = sx[hp : hp + tile, :]
+        s_right = jnp.where(pos >= n_tiles * tile - d, 0.0,
+                            sx[hp + d : hp + d + tile, :])
+        acc = jnp.dot(q_left, qk_ref[0], preferred_element_type=jnp.int32)
+        acc = acc.astype(jnp.float32) * s_left * sk_ref[0][None, :]
+        a1 = jnp.dot(q_mid, qk_ref[1], preferred_element_type=jnp.int32)
+        acc += a1.astype(jnp.float32) * s_mid * sk_ref[1][None, :]
+        a2 = jnp.dot(q_right, qk_ref[2], preferred_element_type=jnp.int32)
+        acc += a2.astype(jnp.float32) * s_right * sk_ref[2][None, :]
+        return acc + b_ref[:].astype(jnp.float32)
+
+    c1 = conv3_q8(qk1_ref, sk1_ref, b1_ref, d1)
+    c2 = conv3_q8(qk2_ref, sk2_ref, b2_ref, d2)
+    qc1, sc1 = _quantize_rows(c1)
+    qc2, sc2 = _quantize_rows(c2)
+    h = jnp.dot(qc1, qwt_ref[:], preferred_element_type=jnp.int32)
+    h = h.astype(jnp.float32) * sc1 * swt_ref[:][None, :]
+    h2 = jnp.dot(qc2, qwb_ref[:], preferred_element_type=jnp.int32)
+    h += h2.astype(jnp.float32) * sc2 * swb_ref[:][None, :]
+    h = jax.nn.relu(h + bf_ref[:].astype(jnp.float32))
+
+    mask = ((t * tile + row) < len_ref[b]).astype(jnp.float32)
+    o_ref[0, :, :] = ((h + mid_f) * mask).astype(o_ref.dtype)
+
+
+def _stack2_layer_q8(x_ext, lengths, qparams, *, d1: int, d2: int, halo_max: int,
+                     tile: int, n_tiles: int, interpret: bool):
+    qk1, sk1, b1, qk2, sk2, b2, qwt, swt, qwb, swb, bf = qparams
+    B, T_ext, C = x_ext.shape
+    halo_d = -(-max(d1, d2) // 8) * 8
+    off = halo_max - halo_d
+    assert halo_max % tile == 0
+    kernel = functools.partial(
+        _stack2_kernel_q8, d1=d1, d2=d2, halo=halo_d, tile=tile, n_tiles=n_tiles
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(tile + 2 * halo_d), pl.Element(C)),
+                lambda b, t: (b, (t * (tile // 8) + off // 8) * 8, 0),
+            ),
+            pl.BlockSpec((3, C, C), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((3, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+            pl.BlockSpec((3, C, C), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((3, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+            pl.BlockSpec((C, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+            pl.BlockSpec((C, C), lambda b, t: (0, 0)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+            pl.BlockSpec((C,), lambda b, t: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, C), lambda b, t: (b, t + halo_max // tile, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T_ext, C), x_ext.dtype),
+        interpret=interpret,
+    )(lengths, x_ext, qk1, sk1, b1, qk2, sk2, b2, qwt, swt, qwb, swb, bf)
+
+
+def dilated_residual2_stack_q8(x, mask, layers, dil_pairs, *, tile: int = 512,
+                               interpret: bool = False):
+    """Int8 fused MS-TCN++ tower (inference-only).  layers: (k1, b1, k2, b2,
+    wf_top, wf_bot, bf) per layer, exactly the bf16 kernel's split-fuse
+    layout; dil_pairs: (d1, d2) per layer."""
+    B, T, C = x.shape
+    dil_pairs = tuple((int(a), int(b)) for a, b in dil_pairs)
+    _, tile, n_tiles = _tiling(T, tile, 1)
+    T_pad = n_tiles * tile
+    halo_req = -(-max(max(p) for p in dil_pairs) // 8) * 8
+    halo = -(-halo_req // tile) * tile
+
+    xm = x * mask[:, :, None].astype(x.dtype)
+    x_ext = jnp.pad(xm, ((0, 0), (halo, halo + (T_pad - T)), (0, 0)))
+    lengths = mask.astype(jnp.int32).sum(axis=1)
+
+    for (k1, b1, k2, b2, wt, wb, bf), (d1, d2) in zip(layers, dil_pairs):
+        qk1, sk1 = quantize_weight(k1)
+        qk2, sk2 = quantize_weight(k2)
+        qwt, swt = quantize_weight(wt)
+        qwb, swb = quantize_weight(wb)
+        x_ext = _stack2_layer_q8(
+            x_ext, lengths, (qk1, sk1, b1, qk2, sk2, b2, qwt, swt, qwb, swb, bf),
+            d1=d1, d2=d2, halo_max=halo, tile=tile, n_tiles=n_tiles,
+            interpret=interpret,
         )
     return x_ext[:, halo : halo + T]

@@ -1249,3 +1249,76 @@ def test_quantize_infer_config_plumbing():
     with mock.patch.object(Bmod, "_PALLAS_PLATFORM_OVERRIDE", "tpu"):
         with pytest.raises(AssertionError):
             Bmod.resolve_block_cfgs(cfg)
+
+
+def _rand_layer2(rng, C):
+    k1 = jnp.array(rng.normal(size=(3, C, C)).astype(np.float32) * 0.08)
+    b1 = jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.05)
+    k2 = jnp.array(rng.normal(size=(3, C, C)).astype(np.float32) * 0.08)
+    b2 = jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.05)
+    wt = jnp.array(rng.normal(size=(C, C)).astype(np.float32) * 0.08)
+    wb = jnp.array(rng.normal(size=(C, C)).astype(np.float32) * 0.08)
+    bf = jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.05)
+    return (k1, b1, k2, b2, wt, wb, bf)
+
+
+def test_q8_stack2_close_to_f32(rng):
+    """Int8 MS-TCN++ tower tracks the f32 fused tower within dynamic-quant
+    tolerance; padded frames stay zero."""
+    from fact_clip_tpu.ops.pallas.dilated_conv import dilated_residual2_stack
+    from fact_clip_tpu.ops.pallas.quant_conv import dilated_residual2_stack_q8
+
+    B, T, C = 2, 70, 32
+    dil_pairs = [(8, 1), (4, 2), (1, 8)]
+    x = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[1, 50:] = False
+    mask = jnp.array(mask)
+    layers = [_rand_layer2(rng, C) for _ in dil_pairs]
+
+    f32 = np.asarray(dilated_residual2_stack(
+        x, mask, layers, dil_pairs, tile=32, interpret=True))
+    q8 = np.asarray(dilated_residual2_stack_q8(
+        x, mask, layers, dil_pairs, tile=32, interpret=True))
+
+    assert np.all(np.isfinite(q8))
+    rel = np.linalg.norm(q8 - f32) / np.linalg.norm(f32)
+    assert rel < 0.02, f"relative error {rel:.4f}"
+    np.testing.assert_array_equal(q8[1, 50:], 0.0)
+
+
+def test_mstcn2_q8_path_close_to_unfused(rng):
+    """MSTCN2 with quantize='int8' (eval) tracks the unfused f32 module."""
+    import unittest.mock as mock
+
+    from fact_clip_tpu.models.layers import MSTCN2
+    from fact_clip_tpu.ops.pallas import quant_conv as qc
+
+    B, T, D, H = 2, 60, 12, 32
+    x = jnp.array(rng.normal(size=(B, T, D)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[1, 44:] = False
+    mask = jnp.array(mask)
+
+    def interp(orig):
+        def f(*a, **kw):
+            kw["interpret"] = True
+            kw["tile"] = 32
+            return orig(*a, **kw)
+        return f
+
+    kw = dict(in_dim=D, hid_dim=H, out_dim=H, num_layers=3, dropout=0.0,
+              ngroup=1, in_map=True)
+    m_q8 = MSTCN2(use_pallas=True, quantize="int8", **kw)
+    m_plain = MSTCN2(use_pallas=False, **kw)
+    params = m_plain.init({"params": jax.random.PRNGKey(0)}, x, mask, True)
+
+    with mock.patch.object(qc, "dilated_residual2_stack_q8",
+                           interp(qc.dilated_residual2_stack_q8)):
+        y_q8 = m_q8.apply(params, x, mask, True)
+    y_plain = m_plain.apply(params, x, mask, True)
+    mv = np.asarray(mask)
+    a, b = np.asarray(y_q8)[mv], np.asarray(y_plain)[mv]
+    assert np.all(np.isfinite(a))
+    rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+    assert rel < 0.02, f"relative error {rel:.4f}"
