@@ -84,24 +84,50 @@ def uniform_init(bound):
     return init
 
 
-class TorchDense(nn.Module):
-    """nn.Dense with torch nn.Linear default initialization.
-
-    ``dtype`` is the computation dtype (params stay float32); None keeps
-    full float32.
-    """
+class _Q8Dense(nn.Module):
+    """Int8-evaluating stand-in for nn.Dense: identical param names/shapes
+    ("kernel"/"bias"), so instantiating it under the same module name yields
+    an interchangeable checkpoint tree.  Math: dynamic per-row activation
+    scales + per-channel weight scales on the MXU
+    (ops/pallas/quant_conv.py::dense_q8).  Eval only — not differentiated."""
 
     features: int
+    kernel_init: Any
+    bias_init: Any
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
+        w = self.param("kernel", self.kernel_init, (x.shape[-1], self.features), jnp.float32)
+        b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        from ..ops.pallas.quant_conv import dense_q8
+
+        y = dense_q8(x, w, b)
+        return y.astype(self.dtype) if self.dtype is not None else y
+
+
+class TorchDense(nn.Module):
+    """nn.Dense with torch nn.Linear default initialization.
+
+    ``dtype`` is the computation dtype (params stay float32); None keeps
+    full float32.  ``quantize="int8"`` evaluates through the int8 MXU dense
+    (same param tree; callers gate it to deterministic/eval use).
+    """
+
+    features: int
+    dtype: Any = None
+    quantize: str = ""
+
+    @nn.compact
+    def __call__(self, x):
         in_dim = x.shape[-1]
-        return nn.Dense(
+        cls = _Q8Dense if self.quantize == "int8" else nn.Dense
+        return cls(
             self.features,
             kernel_init=torch_linear_kernel_init,
             bias_init=torch_linear_bias_init(in_dim),
             dtype=self.dtype,
+            name="Dense_0",
         )(x)
 
 
@@ -259,7 +285,10 @@ class MSTCN(nn.Module):
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
         if self.in_map:
-            x = TorchDense(self.hid_dim, dtype=self.dtype)(x)
+            # in_map is the largest single matmul (D -> C): quantize it too
+            # on the eval path when the towers are quantized
+            q = self.quantize if deterministic else ""
+            x = TorchDense(self.hid_dim, dtype=self.dtype, quantize=q)(x)
         else:
             assert self.in_dim == self.hid_dim
         layers = [
@@ -332,7 +361,8 @@ class MSTCN2(nn.Module):
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
         if self.in_map:
-            f = TorchDense(self.hid_dim, dtype=self.dtype)(x)
+            q = self.quantize if deterministic else ""
+            f = TorchDense(self.hid_dim, dtype=self.dtype, quantize=q)(x)
         else:
             assert self.in_dim == self.hid_dim
             f = _cast(x, self.dtype)

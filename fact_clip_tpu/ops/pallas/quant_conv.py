@@ -53,6 +53,29 @@ def quantize_weight(w, axis: int = -2):
     return q, jnp.squeeze(s, axis=axis) / (127.0 * 127.0)
 
 
+def dense_q8(x, w, b):
+    """Plain-XLA int8 dense for evaluation: dynamic per-row activation
+    scales, per-output-channel weight scales, s8 x s8 -> s32 on the MXU.
+
+    Used for the towers' D -> C input projection (`in_map`) — at HAViD
+    scale (D=2048) the single largest matmul of the forward — where no
+    fusion is needed, so XLA's native int8 dot suffices without a kernel.
+    Returns f32 (+ bias), like the f32 dense it replaces.
+    """
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12)
+    qx = jnp.round(xf * (127.0 / s)).astype(jnp.int8)
+    wf = w.astype(jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=0, keepdims=True), 1e-12)
+    qw = jnp.round(wf * (127.0 / sw)).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        qx, qw, (((qx.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (s / 127.0) * (sw / 127.0)
+    return y + b.astype(jnp.float32)
+
+
 def _quantize_rows(x):
     """Dynamic symmetric per-row int8: returns (q_int8, raw row absmax).
 

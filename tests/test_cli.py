@@ -93,10 +93,11 @@ def test_train_and_eval_cli(cli_env):
     eval_dir = os.path.normpath(os.path.join(logdir, "ckpts", "../eval_results"))
     assert os.path.exists(os.path.join(eval_dir, "eval_result.gz"))
 
-    # cleanup the repo-level log dir this test creates
+    # cleanup only the experiment dir this test created — the repo-level
+    # log/ may hold unrelated (e.g. manually launched) runs
     import shutil
 
-    shutil.rmtree(os.path.join(REPO, "log"), ignore_errors=True)
+    shutil.rmtree(os.path.dirname(logdir), ignore_errors=True)
 
 
 def test_eval_holdout_cli(cli_env, tmp_path):

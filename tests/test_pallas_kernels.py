@@ -1322,3 +1322,28 @@ def test_mstcn2_q8_path_close_to_unfused(rng):
     assert np.all(np.isfinite(a))
     rel = np.linalg.norm(a - b) / np.linalg.norm(b)
     assert rel < 0.02, f"relative error {rel:.4f}"
+
+
+def test_dense_q8_close_and_tree_compatible(rng):
+    """Int8 dense tracks the f32 dense; _Q8Dense shares nn.Dense's exact
+    param tree so checkpoints are interchangeable."""
+    from fact_clip_tpu.models.layers import TorchDense
+    from fact_clip_tpu.ops.pallas.quant_conv import dense_q8
+
+    B, T, D, H = 2, 40, 64, 32
+    x = jnp.array(rng.normal(size=(B, T, D)).astype(np.float32))
+    m_plain = TorchDense(H)
+    m_q8 = TorchDense(H, quantize="int8")
+    params = m_plain.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        m_q8.init(jax.random.PRNGKey(0), x))
+
+    y_plain = np.asarray(m_plain.apply(params, x))
+    y_q8 = np.asarray(m_q8.apply(params, x))
+    rel = np.linalg.norm(y_q8 - y_plain) / np.linalg.norm(y_plain)
+    assert rel < 0.02, f"relative error {rel:.4f}"
+
+    # direct helper agrees with the module path
+    w = params["params"]["Dense_0"]["kernel"]
+    b = params["params"]["Dense_0"]["bias"]
+    np.testing.assert_allclose(np.asarray(dense_q8(x, w, b)), y_q8, atol=1e-6)
