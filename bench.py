@@ -183,7 +183,7 @@ def measure_ours_train():
     return fps, step_s
 
 
-def measure_ours():
+def measure_ours(quantize: str = ""):
     import functools
 
     import jax
@@ -196,6 +196,7 @@ def measure_ours():
     cfg = _make_cfg(small=False)
     cfg.FACT.ntoken = NTOKEN
     cfg.TPU.pallas = True
+    cfg.TPU.quantize_infer = quantize  # "int8": quantized eval towers
     model = build_fact(cfg, D, C, s_pred_cap=128)
 
     rng = np.random.default_rng(0)
@@ -541,6 +542,14 @@ def main():
         tflops = infer_flops / infer_step_s / 1e12
         result["tflops_infer"] = round(tflops, 1)
         result["mfu_infer"] = round(tflops / PEAK_TFLOPS_BF16, 3)
+    # int8-quantized inference (TPU.quantize_infer): guarded — a failure
+    # here must not cost the round its headline artifact
+    try:
+        fps_q8, _ = measure_ours(quantize="int8")
+        result["int8_frames_per_sec_per_chip"] = round(fps_q8, 1)
+        result["int8_speedup_vs_f32"] = round(fps_q8 / fps, 3)
+    except Exception as e:  # noqa: BLE001
+        log(f"int8 inference measurement failed (field omitted): {e!r}")
     result["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     try:
         with open(LAST_GOOD, "w") as f:

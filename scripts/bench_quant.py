@@ -69,20 +69,7 @@ def _pred_agreement():
 def main():
     t0 = time.time()
     fps_f32, step_f32 = bench.measure_ours()
-
-    orig = ge._make_cfg
-
-    def qcfg(small: bool = False):
-        cfg = orig(small=small)
-        cfg.TPU.quantize_infer = "int8"
-        return cfg
-
-    ge._make_cfg = qcfg
-    try:
-        fps_q8, step_q8 = bench.measure_ours()
-    finally:
-        ge._make_cfg = orig
-
+    fps_q8, step_q8 = bench.measure_ours(quantize="int8")
     agree = _pred_agreement()
     print(json.dumps({
         "metric": "int8_inference_frames_per_sec_per_chip",
