@@ -1,0 +1,155 @@
+#!/usr/bin/python3
+"""Verify the int8-quantized inference kernels on real TPU hardware.
+
+Covers both quantized towers (MSTCN `ops/pallas/quant_conv.py::
+dilated_residual_stack_q8`, MS-TCN++ `dilated_residual2_stack_q8`) and the
+plain-XLA int8 dense (`dense_q8`, the in_map projection) at flagship and
+short-bucket shapes, against two references:
+
+- the f32 fused stack (quantization-error gate: random N(0,.08) weights
+  accumulate ~0.5%/layer-ish drift — ~2% at 6-10 layers — so the gate is
+  <5%; *trained* models reproduce f32 metrics exactly, gated separately by
+  the CPU e2e check in tests and the agreement figure in bench_quant.py);
+- the same q8 math in interpret mode (Mosaic-correctness gate, <1e-3 —
+  identical arithmetic up to reduction order, so a looser-than-1e-5 gate
+  only to absorb int8 MXU accumulation-order differences).
+
+CI runs these kernels only in interpret mode on CPU
+(tests/test_pallas_kernels.py); this script is part of the
+scripts/verify_hardware.py suite that writes VERIFY_r0N.json each round.
+
+Prints PASS/FAIL lines; exit code 0 iff all pass.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fact_clip_tpu.ops.pallas.dilated_conv import (
+    dilated_residual_stack,
+    dilated_residual2_stack,
+)
+from fact_clip_tpu.ops.pallas.quant_conv import (
+    dense_q8,
+    dilated_residual_stack_q8,
+    dilated_residual2_stack_q8,
+)
+
+ok = True
+
+
+def check(name, cond, detail=""):
+    global ok
+    print(("PASS" if cond else "FAIL"), name, detail, flush=True)
+    ok = ok and bool(cond)
+
+
+def _rel(a, b):
+    return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))
+
+
+def _layers1(rng, C, n):
+    out = []
+    for _ in range(n):
+        out.append((jnp.array(rng.normal(size=(3, C, C)).astype(np.float32) * 0.08),
+                    jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.05),
+                    jnp.array(rng.normal(size=(C, C)).astype(np.float32) * 0.08),
+                    jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.05),
+                    jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.2 + 1.0),
+                    jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.2)))
+    return out
+
+
+def _layers2(rng, C, n):
+    out = []
+    for _ in range(n):
+        out.append((jnp.array(rng.normal(size=(3, C, C)).astype(np.float32) * 0.08),
+                    jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.05),
+                    jnp.array(rng.normal(size=(3, C, C)).astype(np.float32) * 0.08),
+                    jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.05),
+                    jnp.array(rng.normal(size=(C, C)).astype(np.float32) * 0.08),
+                    jnp.array(rng.normal(size=(C, C)).astype(np.float32) * 0.08),
+                    jnp.array(rng.normal(size=(C,)).astype(np.float32) * 0.05)))
+    return out
+
+
+def main():
+    # FACT_VERIFY_ALLOW_CPU=1: run the same checks via interpret mode on the
+    # CPU backend (logic smoke; the Mosaic gates are skipped — no Mosaic)
+    cpu_smoke = bool(os.environ.get("FACT_VERIFY_ALLOW_CPU"))
+    if not cpu_smoke:
+        assert jax.default_backend() == "tpu", jax.default_backend()
+    global dilated_residual_stack_q8, dilated_residual2_stack_q8
+    global dilated_residual_stack, dilated_residual2_stack
+    if cpu_smoke:
+        import functools
+        dilated_residual_stack_q8 = functools.partial(
+            dilated_residual_stack_q8, interpret=True, tile=256)
+        dilated_residual2_stack_q8 = functools.partial(
+            dilated_residual2_stack_q8, interpret=True, tile=256)
+        dilated_residual_stack = functools.partial(
+            dilated_residual_stack, interpret=True, tile=256)
+        dilated_residual2_stack = functools.partial(
+            dilated_residual2_stack, interpret=True, tile=256)
+    rng = np.random.default_rng(0)
+
+    shapes = [("flagship", 8, 3000, 256, 10), ("short", 4, 300, 128, 6)]
+    if cpu_smoke:  # interpret-mode flagship is minutes of unrolled XLA on CPU
+        shapes = [("short", 4, 300, 128, 6)]
+    for tag, B, T, C, L in shapes:
+        x = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+        mask = np.ones((B, T), bool)
+        mask[-1, (3 * T) // 4:] = False
+        mask = jnp.array(mask)
+        dils = [2 ** i for i in range(L)]
+        layers = _layers1(rng, C, L)
+
+        f32 = np.asarray(jax.jit(lambda x: dilated_residual_stack(
+            x, mask, layers, dils))(x))
+        q8 = np.asarray(jax.jit(lambda x: dilated_residual_stack_q8(
+            x, mask, layers, dils))(x))
+        check(f"mstcn-q8-vs-f32 {tag} B={B} T={T} C={C} L={L}",
+              np.all(np.isfinite(q8)) and _rel(q8, f32) < 0.05,
+              f"rel-err {_rel(q8, f32):.2e}")
+        if tag == "short" and not cpu_smoke:
+            # interpret mode unrolls the grid into XLA ops — short shape only
+            q8i = np.asarray(jax.jit(lambda x: dilated_residual_stack_q8(
+                x, mask, layers, dils, interpret=True))(x))
+            check(f"mstcn-q8-mosaic-vs-interpret {tag}", _rel(q8, q8i) < 1e-3,
+                  f"rel-err {_rel(q8, q8i):.2e}")
+
+        dpairs = [(2 ** (L - 1 - i), 2 ** i) for i in range(L)]
+        layers2 = _layers2(rng, C, L)
+        f32_2 = np.asarray(jax.jit(lambda x: dilated_residual2_stack(
+            x, mask, layers2, dpairs))(x))
+        q8_2 = np.asarray(jax.jit(lambda x: dilated_residual2_stack_q8(
+            x, mask, layers2, dpairs))(x))
+        check(f"mstcn2-q8-vs-f32 {tag} B={B} T={T} C={C} L={L}",
+              np.all(np.isfinite(q8_2)) and _rel(q8_2, f32_2) < 0.05,
+              f"rel-err {_rel(q8_2, f32_2):.2e}")
+        if tag == "short" and not cpu_smoke:
+            q8_2i = np.asarray(jax.jit(lambda x: dilated_residual2_stack_q8(
+                x, mask, layers2, dpairs, interpret=True))(x))
+            check(f"mstcn2-q8-mosaic-vs-interpret {tag}", _rel(q8_2, q8_2i) < 1e-3,
+                  f"rel-err {_rel(q8_2, q8_2i):.2e}")
+
+    # in_map-scale int8 dense (plain XLA, no kernel)
+    B, T, D, H = 8, 3000, 2048, 256
+    x = jnp.array(rng.normal(size=(B, T, D)).astype(np.float32))
+    w = jnp.array(rng.normal(size=(D, H)).astype(np.float32) * 0.02)
+    b = jnp.array(rng.normal(size=(H,)).astype(np.float32) * 0.02)
+    yq = np.asarray(jax.jit(dense_q8)(x, w, b))
+    yf = np.asarray(jax.jit(lambda x: x @ w + b)(x))
+    check(f"dense-q8 B={B} T={T} D={D}->H={H}",
+          np.all(np.isfinite(yq)) and _rel(yq, yf) < 0.02, f"rel-err {_rel(yq, yf):.2e}")
+
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
