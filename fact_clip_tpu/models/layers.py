@@ -286,8 +286,9 @@ class MSTCN(nn.Module):
     def __call__(self, x, mask, deterministic: bool):
         if self.in_map:
             # in_map is the largest single matmul (D -> C): quantize it too
-            # on the eval path when the towers are quantized
-            q = self.quantize if deterministic else ""
+            # on the eval path when the towers are quantized (grouped convs
+            # never quantize — the tower falls to the unfused path there)
+            q = self.quantize if deterministic and self.ngroup == 1 else ""
             x = TorchDense(self.hid_dim, dtype=self.dtype, quantize=q)(x)
         else:
             assert self.in_dim == self.hid_dim
@@ -361,7 +362,7 @@ class MSTCN2(nn.Module):
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
         if self.in_map:
-            q = self.quantize if deterministic else ""
+            q = self.quantize if deterministic and self.ngroup == 1 else ""
             f = TorchDense(self.hid_dim, dtype=self.dtype, quantize=q)(x)
         else:
             assert self.in_dim == self.hid_dim

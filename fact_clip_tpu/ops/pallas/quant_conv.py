@@ -62,9 +62,7 @@ def dense_q8(x, w, b):
     fusion is needed, so XLA's native int8 dot suffices without a kernel.
     Returns f32 (+ bias), like the f32 dense it replaces.
     """
-    xf = x.astype(jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12)
-    qx = jnp.round(xf * (127.0 / s)).astype(jnp.int8)
+    qx, s = _quantize_rows(x.astype(jnp.float32))
     wf = w.astype(jnp.float32)
     sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=0, keepdims=True), 1e-12)
     qw = jnp.round(wf * (127.0 / sw)).astype(jnp.int8)

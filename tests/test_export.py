@@ -179,6 +179,10 @@ def test_tpu_artifact_cross_compiles_quantized(fixture_base, tmp_path):
     assert "quantize_infer: int8" in meta["cfg"]
     e = exported[L]
     assert "tpu_custom_call" in e.mlir_module()
+    # int8 tensors really appear in the lowered module — 'tpu_custom_call'
+    # alone is also emitted by the bf16 kernels, so it cannot detect the
+    # quantized path silently falling back
+    assert "xi8>" in e.mlir_module()
     path = str(tmp_path / "tpu_q8.factserve")
     save_serving(path, exported, meta)
     serving = load_serving(path)
