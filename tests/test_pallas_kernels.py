@@ -1347,3 +1347,28 @@ def test_dense_q8_close_and_tree_compatible(rng):
     w = params["params"]["Dense_0"]["kernel"]
     b = params["params"]["Dense_0"]["bias"]
     np.testing.assert_allclose(np.asarray(dense_q8(x, w, b)), y_q8, atol=1e-6)
+
+
+def test_q8_stack_bf16_streams(rng):
+    """Int8 tower under mixed precision: bf16 inter-layer streams in/out,
+    quantization from the bf16 values, still tracks the f32 tower."""
+    from fact_clip_tpu.ops.pallas.dilated_conv import dilated_residual_stack
+    from fact_clip_tpu.ops.pallas.quant_conv import dilated_residual_stack_q8
+
+    B, T, C = 2, 70, 32
+    dilations = [1, 2, 4, 8]
+    x = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+    mask = jnp.array(np.ones((B, T), bool))
+    layers = [_rand_layer(rng, C) for _ in dilations]
+    layers_bf = [tuple(w.astype(jnp.bfloat16) if w.ndim > 1 else w for w in l)
+                 for l in layers]
+
+    f32 = np.asarray(dilated_residual_stack(
+        x, mask, layers, dilations, tile=32, interpret=True))
+    q8b = dilated_residual_stack_q8(
+        x.astype(jnp.bfloat16), mask, layers_bf, dilations, tile=32, interpret=True)
+    assert q8b.dtype == jnp.bfloat16  # stream keeps the compute dtype
+    q8b = np.asarray(q8b, np.float32)
+    assert np.all(np.isfinite(q8b))
+    rel = np.linalg.norm(q8b - f32) / np.linalg.norm(f32)
+    assert rel < 0.03, f"relative error {rel:.4f}"
