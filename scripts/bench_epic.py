@@ -127,6 +127,8 @@ def main():
     parser.add_argument("--train", action="store_true",
                         help="benchmark the full train step instead of fwd+decode")
     parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--quantize", default="", choices=["", "int8"],
+                        help="TPU.quantize_infer for the fwd+decode benchmark")
     args = parser.parse_args()
 
     import jax
@@ -167,6 +169,7 @@ def main():
     cfg.Bu.f_layers = 10
     cfg.BU.f_layers = 10
     cfg.TPU.pallas = True
+    cfg.TPU.quantize_infer = "" if args.train else args.quantize
 
     B, T, D = args.batch, 24576, 1024
     if args.train:
@@ -248,7 +251,10 @@ def main():
     t2 = best_time(n2_)
     ms = (t2 - t1) / (n2_ - n1_) * 1e3
     log(f"epic {T}-frame forward+decode: {ms:.1f} ms (round-1: 45.5 ms)")
-    print(json.dumps({"epic_fwd_decode_ms": round(ms, 2), "T": T, "n_act": n_act}))
+    out = {"epic_fwd_decode_ms": round(ms, 2), "T": T, "n_act": n_act}
+    if args.quantize:
+        out["quantize"] = args.quantize
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
