@@ -37,6 +37,10 @@ echo "bench_serving rc=$?" >> "$LOG"
 timeout 2400 python scripts/bench_quant.py >> "$LOG" 2>&1
 echo "bench_quant rc=$?" >> "$LOG"
 
+# 5d. epic-scale fwd+decode with the int8 towers
+timeout 1800 python scripts/bench_epic.py --quantize int8 >> "$LOG" 2>&1
+echo "bench_epic_q8 rc=$?" >> "$LOG"
+
 # 6. attribute the post-SA-fusion tail: diff the fresh trace (stage 3)
 #    against the archived pre-SA-fusion trace, if that archive still exists
 if [ -d /tmp/train_trace_b8g ]; then
