@@ -218,7 +218,8 @@ def make_abranch(c: BlockCfg, trans: bool, name: str):
 def make_x2y(c: BlockCfg, outdim: int, name: str):
     return L.X2YMap(
         x_dim=c.hid_dim, y_dim=c.hid_dim, y_outdim=outdim, head_dim=c.hid_dim,
-        dropout=c.dropout, kq_pos=True, dtype=_jdtype(c), use_pallas=c.pallas, name=name,
+        dropout=c.dropout, kq_pos=True, dtype=_jdtype(c), use_pallas=c.pallas,
+        quantize=c.quantize, name=name,
     )
 
 

@@ -640,6 +640,7 @@ class X2YMap(nn.Module):
     kq_pos: bool = False
     dtype: Any = None
     use_pallas: bool = False
+    quantize: str = ""  # "int8": quantized large-axis projections (eval only)
     pallas_interpret: bool = False  # tests only
 
     @nn.compact
@@ -659,7 +660,11 @@ class X2YMap(nn.Module):
         if self.use_pallas:
             # fused projection+logits+softmax+attend kernel; valid-key masks
             # are prefix-contiguous by construction (data/batching.py)
-            from ..ops.pallas.x2y_attn import x2y_attention
+            if self.quantize == "int8" and deterministic:
+                # large-axis projections on int8 MXU operands (eval only)
+                from ..ops.pallas.quant_conv import x2y_attention_q8 as x2y_fn
+            else:
+                from ..ops.pallas.x2y_attn import x2y_attention as x2y_fn
 
             X = x_feat.shape[1]
             x_len = (x_mask.astype(jnp.int32).sum(axis=1) if x_mask is not None
@@ -668,7 +673,7 @@ class X2YMap(nn.Module):
             yc = _cast(y_feat, self.dtype)
             zeros_x = jnp.zeros_like(xc) if not use_kq_xpos else _poslike(x_pos, xc)
             zeros_y = jnp.zeros_like(yc) if not use_kq_ypos else _poslike(y_pos, yc)
-            attn_feat, probs, logits = x2y_attention(
+            attn_feat, probs, logits = x2y_fn(
                 yc, zeros_y, xc, zeros_x,
                 _cast(wk, self.dtype), bk, _cast(wv, self.dtype), bv,
                 _cast(wq, self.dtype), bq, x_len,

@@ -29,6 +29,7 @@ bf16/f32 stack.  Enable with ``cfg.TPU.quantize_infer = "int8"``.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -330,3 +331,194 @@ def dilated_residual2_stack_q8(x, mask, layers, dil_pairs, *, tile: int = 512,
             interpret=interpret,
         )
     return x_ext[:, halo : halo + T]
+
+
+# ---------------------------------------------------------------------------
+# X2Y cross-attention with int8 frame-side projections (eval-only forward).
+# Mirrors x2y_attn.py's two formulations; only the projections over the
+# LARGE axis go int8 (flash: xk/xv over frames; small-X: yq over frames) —
+# the logits/softmax/attend math is unchanged, so probs/logits keep the
+# fidelity the losses and the two-branch decode rely on.
+
+_NEG = -1e9
+
+
+def _x2y_flash_kernel_q8(xlen_ref, x_ref, xpos_ref, yq_ref, qwk_ref, swk_ref,
+                         bk_ref, qwv_ref, swv_ref, bv_ref, logits_ref, attn_ref,
+                         m_scr, l_scr, acc_scr, *, scale: float, tile: int, n_t: int):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    xk_in = x_ref[0].astype(jnp.float32) + xpos_ref[0].astype(jnp.float32)
+    qk, sk = _quantize_rows(xk_in)
+    xk = jnp.dot(qk, qwk_ref[:], preferred_element_type=jnp.int32)
+    xk = xk.astype(jnp.float32) * sk * swk_ref[:][None, :] + bk_ref[:].astype(jnp.float32)
+    qv, sv = _quantize_rows(x_ref[0].astype(jnp.float32))
+    xv = jnp.dot(qv, qwv_ref[:], preferred_element_type=jnp.int32)
+    xv = xv.astype(jnp.float32) * sv * swv_ref[:][None, :] + bv_ref[:].astype(jnp.float32)
+
+    logits = jax.lax.dot_general(
+        yq_ref[0], xk.astype(yq_ref.dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * scale  # (M, tile)
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + t * tile
+    logits = jnp.where(col < xlen_ref[b], logits, _NEG)
+    logits_ref[0, :, :] = logits.astype(logits_ref.dtype)
+
+    m_prev = m_scr[:, 0]
+    m_new = jnp.maximum(m_prev, logits.max(axis=-1))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new[:, None])
+    l_scr[:, 0] = l_scr[:, 0] * alpha + p.sum(axis=-1)
+    acc_scr[...] = acc_scr[...] * alpha[:, None] + jnp.dot(
+        p.astype(xv.dtype), xv, preferred_element_type=jnp.float32
+    )
+    m_scr[:, 0] = m_new
+
+    @pl.when(t == n_t - 1)
+    def _finish():
+        attn_ref[0, :, :] = (
+            acc_scr[...] / jnp.maximum(l_scr[:, 0], 1e-30)[:, None]
+        ).astype(attn_ref.dtype)
+
+
+def _x2y_flash_q8_impl(x, x_pos, yq, qwk, swk, bk, qwv, swv, bv, x_len, *,
+                       tile: int, interpret: bool):
+    B, X, Cx = x.shape
+    M, d = yq.shape[1], yq.shape[2]
+    tile = min(tile, max(-(-X // 128) * 128, 128))
+    n_t = pl.cdiv(X, tile)
+    X_pad = n_t * tile
+    if X_pad != X:
+        x = jnp.pad(x, ((0, 0), (0, X_pad - X), (0, 0)))
+        x_pos = jnp.pad(x_pos, ((0, 0), (0, X_pad - X), (0, 0)))
+    pos_b = 0 if x_pos.shape[0] == 1 else None
+    kernel = functools.partial(_x2y_flash_kernel_q8, scale=1.0 / math.sqrt(d),
+                               tile=tile, n_t=n_t)
+    logits, attn = pl.pallas_call(
+        kernel,
+        grid=(B, n_t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile, Cx), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, tile, Cx), lambda b, t, pb=pos_b: (pb if pb is not None else b, t, 0)),
+            pl.BlockSpec((1, M, d), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((Cx, d), lambda b, t: (0, 0)),
+            pl.BlockSpec((d,), lambda b, t: (0,)),
+            pl.BlockSpec((d,), lambda b, t: (0,)),
+            pl.BlockSpec((Cx, d), lambda b, t: (0, 0)),
+            pl.BlockSpec((d,), lambda b, t: (0,)),
+            pl.BlockSpec((d,), lambda b, t: (0,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, M, tile), lambda b, t: (b, 0, t)),
+            pl.BlockSpec((1, M, d), lambda b, t: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, M, X_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, M, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((M, 1), jnp.float32),
+            pltpu.VMEM((M, 1), jnp.float32),
+            pltpu.VMEM((M, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_len, x, x_pos, yq, qwk, swk, bk, qwv, swv, bv)
+    logits = logits[:, :, :X]
+    probs = jax.nn.softmax(logits, axis=-1)
+    return attn, probs, logits
+
+
+def _x2y_small_x_kernel_q8(xlen_ref, y_ref, ypos_ref, xk_ref, xv_ref, qwq_ref,
+                           swq_ref, bq_ref, attn_ref, probs_ref, logits_ref, *,
+                           scale: float, tile: int):
+    b = pl.program_id(0)
+    yq_in = y_ref[0].astype(jnp.float32) + ypos_ref[0].astype(jnp.float32)
+    qy, sy = _quantize_rows(yq_in)
+    yq = jnp.dot(qy, qwq_ref[:], preferred_element_type=jnp.int32)
+    yq = yq.astype(jnp.float32) * sy * swq_ref[:][None, :] + bq_ref[:].astype(jnp.float32)
+
+    logits = jax.lax.dot_general(
+        yq.astype(xk_ref.dtype), xk_ref[0],
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * scale  # (tile, X)
+    X = logits.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, X), 1)
+    logits = jnp.where(col < xlen_ref[b], logits, _NEG)
+
+    mx = logits.max(axis=-1, keepdims=True)
+    e = jnp.exp(logits - mx)
+    probs = e / e.sum(axis=-1, keepdims=True)
+    attn = jnp.dot(probs.astype(xv_ref.dtype), xv_ref[0], preferred_element_type=jnp.float32)
+
+    attn_ref[0, :, :] = attn.astype(attn_ref.dtype)
+    probs_ref[0, :, :] = probs.astype(probs_ref.dtype)
+    logits_ref[0, :, :] = logits.astype(logits_ref.dtype)
+
+
+def _x2y_small_x_q8_impl(y_in, y_pos, xk, xv, qwq, swq, bq, x_len, *,
+                         tile: int, interpret: bool):
+    B, Y, Cy = y_in.shape
+    X, d = xk.shape[1], xk.shape[2]
+    tile = min(tile, max(-(-Y // 8) * 8, 8))
+    n_t = pl.cdiv(Y, tile)
+    pos_b = 0 if y_pos.shape[0] == 1 else None
+    kernel = functools.partial(_x2y_small_x_kernel_q8, scale=1.0 / math.sqrt(d), tile=tile)
+    attn, probs, logits = pl.pallas_call(
+        kernel,
+        grid=(B, n_t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile, Cy), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, tile, Cy), lambda b, t, pb=pos_b: (pb if pb is not None else b, t, 0)),
+            pl.BlockSpec((1, X, d), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, X, d), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((Cy, d), lambda b, t: (0, 0)),
+            pl.BlockSpec((d,), lambda b, t: (0,)),
+            pl.BlockSpec((d,), lambda b, t: (0,)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, d), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, tile, X), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, tile, X), lambda b, t: (b, t, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Y, d), jnp.float32),
+            jax.ShapeDtypeStruct((B, Y, X), jnp.float32),
+            jax.ShapeDtypeStruct((B, Y, X), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_len, y_in, y_pos, xk, xv, qwq, swq, bq)
+    return attn, probs, logits
+
+
+def x2y_attention_q8(y_in, y_pos, x_in, x_pos_k, wk, bk, wv, bv, wq, bq, x_len, *,
+                     tile: int = 512, interpret: bool = False):
+    """Quantized-projection X2Y attention (same contract as
+    x2y_attn.py::x2y_attention, eval-only — not differentiated).
+
+    Only the projection over the large axis runs int8; the small-axis
+    projection (a (B, M, d)-sized matmul) stays dense at full precision.
+    """
+    X = x_in.shape[1]
+    if X > 1024:
+        yq = jnp.einsum("byc,cd->byd", (y_in + y_pos).astype(wq.dtype), wq)
+        yq = yq.astype(jnp.float32) + bq
+        qwk, swk = quantize_weight(wk)
+        qwv, swv = quantize_weight(wv)
+        return _x2y_flash_q8_impl(x_in, x_pos_k, yq.astype(x_in.dtype), qwk, swk, bk,
+                                  qwv, swv, bv, x_len, tile=tile, interpret=interpret)
+    xk = jnp.einsum("bxc,cd->bxd", (x_in + x_pos_k).astype(wk.dtype), wk)
+    xk = (xk.astype(jnp.float32) + bk).astype(x_in.dtype)
+    xv = jnp.einsum("bxc,cd->bxd", x_in.astype(wv.dtype), wv)
+    xv = (xv.astype(jnp.float32) + bv).astype(x_in.dtype)
+    qwq, swq = quantize_weight(wq)
+    return _x2y_small_x_q8_impl(y_in, y_pos, xk, xv, qwq, swq, bq, x_len,
+                                tile=tile, interpret=interpret)

@@ -38,6 +38,7 @@ from fact_clip_tpu.ops.pallas.quant_conv import (
     dense_q8,
     dilated_residual_stack_q8,
     dilated_residual2_stack_q8,
+    x2y_attention_q8,
 )
 
 ok = True
@@ -147,6 +148,45 @@ def main():
     yf = np.asarray(jax.jit(lambda x: x @ w + b)(x))
     check(f"dense-q8 B={B} T={T} D={D}->H={H}",
           np.all(np.isfinite(yq)) and _rel(yq, yf) < 0.02, f"rel-err {_rel(yq, yf):.2e}")
+
+    # X2Y quantized-projection attention: flash (X large) | small-X
+    Bx, Cx, Cy, d = 2, 256, 256, 256
+    x2y_shapes = [("x2y-flash", 3000, 40), ("x2y-small-x", 40, 1500)]
+    if cpu_smoke:
+        x2y_shapes = [("x2y-flash", 1536, 8), ("x2y-small-x", 24, 64)]
+    for tag, X, Y in x2y_shapes:
+        y_in = jnp.array(rng.normal(size=(Bx, Y, Cy)).astype(np.float32))
+        y_pos = jnp.array(rng.normal(size=(1, Y, Cy)).astype(np.float32))
+        x_in = jnp.array(rng.normal(size=(Bx, X, Cx)).astype(np.float32))
+        x_pos = jnp.array(rng.normal(size=(1, X, Cx)).astype(np.float32))
+        wk, wv = (jnp.array(rng.normal(size=(Cx, d)).astype(np.float32) * 0.06)
+                  for _ in range(2))
+        wq = jnp.array(rng.normal(size=(Cy, d)).astype(np.float32) * 0.06)
+        bk, bv, bq = (jnp.array(rng.normal(size=(d,)).astype(np.float32) * 0.05)
+                      for _ in range(3))
+        x_len = jnp.array([X, X - X // 4], jnp.int32)
+
+        q8kw = dict(interpret=True, tile=256) if cpu_smoke else {}
+        attn, probs, logits = jax.jit(
+            lambda *a: x2y_attention_q8(*a, **q8kw)
+        )(y_in, y_pos, x_in, x_pos, wk, bk, wv, bv, wq, bq, x_len)
+
+        xk = (x_in + x_pos) @ wk + bk
+        xv = x_in @ wv + bv
+        yqd = (y_in + y_pos) @ wq + bq
+        ref_logits = jnp.einsum("byd,bxd->byx", yqd, xk) / np.sqrt(d)
+        colm = jnp.arange(X)[None, None, :] < x_len[:, None, None]
+        ref_logits = jnp.where(colm, ref_logits, -1e9)
+        ref_probs = jax.nn.softmax(ref_logits, axis=-1)
+        ref_attn = jnp.einsum("byx,bxd->byd", ref_probs, xv)
+
+        attn, probs = np.asarray(attn), np.asarray(probs)
+        vm = np.broadcast_to(np.asarray(colm), probs.shape)
+        ra = _rel(attn, np.asarray(ref_attn))
+        rp = _rel(probs[vm], np.asarray(ref_probs)[vm])
+        check(f"{tag} attn B={Bx} X={X} Y={Y} d={d}",
+              np.all(np.isfinite(attn)) and ra < 0.05, f"rel-err {ra:.2e}")
+        check(f"{tag} probs", rp < 0.05, f"rel-err {rp:.2e}")
 
     sys.exit(0 if ok else 1)
 

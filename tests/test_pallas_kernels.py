@@ -1372,3 +1372,45 @@ def test_q8_stack_bf16_streams(rng):
     assert np.all(np.isfinite(q8b))
     rel = np.linalg.norm(q8b - f32) / np.linalg.norm(f32)
     assert rel < 0.03, f"relative error {rel:.4f}"
+
+
+@pytest.mark.parametrize("X,Y", [(24, 70), (2000, 16)])  # small-X | flash
+def test_x2y_q8_close_to_xla(rng, X, Y):
+    """Quantized-projection X2Y tracks the dense XLA reference: attn/logits
+    within quantization tolerance, probs a valid distribution, masked keys
+    at -1e9."""
+    from fact_clip_tpu.ops.pallas.quant_conv import x2y_attention_q8
+
+    B, Cx, Cy, d = 2, 32, 24, 128
+    y_in = jnp.array(rng.normal(size=(B, Y, Cy)).astype(np.float32))
+    y_pos = jnp.array(rng.normal(size=(1, Y, Cy)).astype(np.float32))
+    x_in = jnp.array(rng.normal(size=(B, X, Cx)).astype(np.float32))
+    x_pos = jnp.array(rng.normal(size=(1, X, Cx)).astype(np.float32))
+    wk = jnp.array(rng.normal(size=(Cx, d)).astype(np.float32) * 0.1)
+    bk = jnp.array(rng.normal(size=(d,)).astype(np.float32) * 0.05)
+    wv = jnp.array(rng.normal(size=(Cx, d)).astype(np.float32) * 0.1)
+    bv = jnp.array(rng.normal(size=(d,)).astype(np.float32) * 0.05)
+    wq = jnp.array(rng.normal(size=(Cy, d)).astype(np.float32) * 0.1)
+    bq = jnp.array(rng.normal(size=(d,)).astype(np.float32) * 0.05)
+    x_len = jnp.array([X, X - 5], jnp.int32)
+
+    attn, probs, logits = x2y_attention_q8(
+        y_in, y_pos, x_in, x_pos, wk, bk, wv, bv, wq, bq, x_len,
+        tile=256, interpret=True)
+    ref_attn, ref_probs, ref_logits = _x2y_xla_reference(
+        y_in, y_pos, x_in, x_pos, wk, bk, wv, bv, wq, bq, x_len)
+
+    valid = np.arange(X)[None, None, :] < np.asarray(x_len)[:, None, None]
+    for name, a, r in [("attn", attn, ref_attn), ("probs", probs, ref_probs)]:
+        a, r = np.asarray(a), np.asarray(r)
+        assert np.all(np.isfinite(a)), name
+        rel = np.linalg.norm(a - r) / (np.linalg.norm(r) + 1e-12)
+        assert rel < 0.05, f"{name} relative error {rel:.4f}"
+    lg = np.asarray(logits)
+    lr = np.asarray(ref_logits)
+    vm = np.broadcast_to(valid, lg.shape)
+    rel = np.linalg.norm((lg - lr)[vm]) / (np.linalg.norm(lr[vm]) + 1e-12)
+    assert rel < 0.05, f"logits relative error {rel:.4f}"
+    np.testing.assert_array_equal(lg[~vm], -1e9)
+    s = np.asarray(probs).sum(-1)
+    np.testing.assert_allclose(s, 1.0, atol=1e-5)
