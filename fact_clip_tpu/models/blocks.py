@@ -201,7 +201,7 @@ def make_abranch(c: BlockCfg, trans: bool, name: str):
             in_dim=c.a_dim, hid_dim=c.a_dim, out_dim=c.hid_dim, frame_dim=c.hid_dim,
             num_layers=c.a_layers, nhead=c.a_nhead, ffdim=c.a_ffdim, dropout=c.dropout,
             dtype=_jdtype(c), use_pallas=c.pallas and c.pallas_attn,
-            use_pallas_sa=c.pallas and c.pallas_sa,
+            use_pallas_sa=c.pallas and c.pallas_sa, quantize=c.quantize,
             # memory pos is the fixed sinusoid table (FACT.__call__): its
             # cotangent is dead, so the fused backward skips the dxk stream
             pos_grad=False, name=name,

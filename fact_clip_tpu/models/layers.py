@@ -538,6 +538,7 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.0
     dtype: Any = None
     use_pallas: bool = False
+    quantize: str = ""  # "int8": quantized K/V projections (eval only)
     pallas_interpret: bool = False  # tests only
     pallas_min_keys: int = 1024
     # False declares key_pos a constant (FACT's frame PE table): the fused
@@ -581,12 +582,22 @@ class MultiHeadAttention(nn.Module):
             xc = _cast(value, self.dtype)
             pos = (_poslike(key_pos, xc) if key_pos is not None
                    else jnp.zeros((1,) + xc.shape[1:], xc.dtype))
-            out = mha_cross_attention(
-                _cast(q, self.dtype), xc, pos,
-                _cast(wk, self.dtype), bk, _cast(wv, self.dtype), bv, x_len,
-                num_heads=H, rate=rate, seed=seed, interpret=self.pallas_interpret,
-                pos_grad=self.key_pos_grad,
-            )
+            if self.quantize == "int8" and deterministic:
+                # K/V projections on int8 MXU operands (eval only)
+                from ..ops.pallas.quant_conv import mha_cross_attention_q8
+
+                out = mha_cross_attention_q8(
+                    _cast(q, self.dtype), xc, pos,
+                    _cast(wk, self.dtype), bk, _cast(wv, self.dtype), bv, x_len,
+                    num_heads=H, interpret=self.pallas_interpret,
+                )
+            else:
+                out = mha_cross_attention(
+                    _cast(q, self.dtype), xc, pos,
+                    _cast(wk, self.dtype), bk, _cast(wv, self.dtype), bv, x_len,
+                    num_heads=H, rate=rate, seed=seed, interpret=self.pallas_interpret,
+                    pos_grad=self.key_pos_grad,
+                )
             out = nn.Dense(
                 E, kernel_init=torch_linear_kernel_init, bias_init=zeros, name="out_proj"
             )(out.astype(jnp.float32))
@@ -841,6 +852,7 @@ class SCALayer(nn.Module):
     dtype: Any = None
     use_pallas: bool = False
     use_pallas_sa: bool = False
+    quantize: str = ""  # "int8": quantized cross-attn K/V projections (eval only)
     pallas_interpret: bool = False  # tests only
     pos_grad: bool = True  # False: memory pos is a constant (FACT PE table)
 
@@ -875,7 +887,8 @@ class SCALayer(nn.Module):
         query = add_pos(tgt, query_pos)
         tgt2 = MultiHeadAttention(
             self.action_dim, self.nhead, self.attn_dropout, dtype=self.dtype,
-            use_pallas=self.use_pallas, key_pos_grad=self.pos_grad, name="cross_attn",
+            use_pallas=self.use_pallas, quantize=self.quantize,
+            key_pos_grad=self.pos_grad, name="cross_attn",
         )(
             query, memory, memory, key_mask=memory_mask, deterministic=deterministic,
             key_pos=pos,
@@ -942,6 +955,7 @@ class SCADecoder(nn.Module):
     dtype: Any = None
     use_pallas: bool = False
     use_pallas_sa: bool = False
+    quantize: str = ""  # "int8": quantized cross-attn K/V projections (eval only)
     pallas_interpret: bool = False
     pos_grad: bool = True
 
@@ -953,6 +967,7 @@ class SCADecoder(nn.Module):
             out = SCALayer(
                 self.hid_dim, self.frame_dim, self.nhead, self.ffdim, self.dropout, self.dropout,
                 dtype=self.dtype, use_pallas=self.use_pallas, use_pallas_sa=self.use_pallas_sa,
+                quantize=self.quantize,
                 pallas_interpret=self.pallas_interpret, pos_grad=self.pos_grad,
                 name=f"layer{i}",
             )(out, memory, pos=pos, query_pos=query_pos, memory_mask=memory_mask, deterministic=deterministic)

@@ -522,3 +522,112 @@ def x2y_attention_q8(y_in, y_pos, x_in, x_pos_k, wk, bk, wv, bv, wq, bq, x_len, 
     qwq, swq = quantize_weight(wq)
     return _x2y_small_x_q8_impl(y_in, y_pos, xk, xv, qwq, swq, bq, x_len,
                                 tile=tile, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# SCA multi-head cross-attention with int8 K/V projections (eval-only
+# forward).  Twin of mha_attn.py::_mha_kernel at rate=0 without the
+# backward's (m, l) stat outputs; the full-width lane-masked query form and
+# the online softmax are unchanged (see mha_attn.py's module docstring for
+# the layout rationale).
+
+from .mha_attn import (  # noqa: E402
+    _arrange_queries,
+    _extract_diag,
+    _pick_tile,
+    _round8,
+)
+
+
+def _mha_kernel_q8(xlen_ref, x_ref, xpos_ref, q_ref, qwk_ref, swk_ref, bk_ref,
+                   qwv_ref, swv_ref, bv_ref, out_ref, m_scr, l_scr, acc_scr, *,
+                   tile: int, n_t: int):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    xk_in = x_ref[0].astype(jnp.float32) + xpos_ref[0].astype(jnp.float32)
+    qk, sk = _quantize_rows(xk_in)
+    k = jnp.dot(qk, qwk_ref[:], preferred_element_type=jnp.int32)
+    k = k.astype(jnp.float32) * sk * swk_ref[:][None, :] + bk_ref[:].astype(jnp.float32)
+    qv, sv = _quantize_rows(x_ref[0].astype(jnp.float32))
+    v = jnp.dot(qv, qwv_ref[:], preferred_element_type=jnp.int32)
+    v = v.astype(jnp.float32) * sv * swv_ref[:][None, :] + bv_ref[:].astype(jnp.float32)
+    k = k.astype(q_ref.dtype)
+    v = v.astype(q_ref.dtype)
+
+    logits = jax.lax.dot_general(
+        q_ref[0], k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # (H*M8, tile)
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + t * tile
+    logits = jnp.where(col < xlen_ref[b], logits, _NEG)
+
+    m_prev = m_scr[:, 0]
+    m_new = jnp.maximum(m_prev, logits.max(axis=-1))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new[:, None])  # (H*M8, tile)
+    l_scr[:, 0] = l_scr[:, 0] * alpha + p.sum(axis=-1)
+    acc_scr[...] = acc_scr[...] * alpha[:, None] + jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    m_scr[:, 0] = m_new
+
+    @pl.when(t == n_t - 1)
+    def _finish():
+        out_ref[0, :, :] = (
+            acc_scr[...] / jnp.maximum(l_scr[:, 0], 1e-30)[:, None]
+        ).astype(out_ref.dtype)
+
+
+def mha_cross_attention_q8(q, x_in, x_pos_k, wk, bk, wv, bv, x_len, *,
+                           num_heads: int, tile: int = 512, interpret: bool = False):
+    """Quantized-projection twin of mha_attn.py::mha_cross_attention
+    (eval-only — no dropout, not differentiated).  Same contract: q is
+    (B, M, E) projected queries, returns (B, M, E) f32 per-head outputs."""
+    if x_pos_k.ndim == 2:
+        x_pos_k = x_pos_k[None]
+    B, X, Cx = x_in.shape
+    M, E = q.shape[1], wk.shape[1]
+    M8 = _round8(M)
+    HM8 = num_heads * M8
+    tile = _pick_tile(tile, X, HM8, E)
+    n_t = pl.cdiv(X, tile)
+    X_pad = n_t * tile
+    if X_pad != X:
+        x_in = jnp.pad(x_in, ((0, 0), (0, X_pad - X), (0, 0)))
+        x_pos_k = jnp.pad(x_pos_k, ((0, 0), (0, X_pad - X), (0, 0)))
+    pos_b = 0 if x_pos_k.shape[0] == 1 else None
+    qh = _arrange_queries(q, num_heads)
+    qwk, swk = quantize_weight(wk)
+    qwv, swv = quantize_weight(wv)
+    kernel = functools.partial(_mha_kernel_q8, tile=tile, n_t=n_t)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile, Cx), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, tile, Cx), lambda b, t, pb=pos_b: (pb if pb is not None else b, t, 0)),
+            pl.BlockSpec((1, HM8, E), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((Cx, E), lambda b, t: (0, 0)),
+            pl.BlockSpec((E,), lambda b, t: (0,)),
+            pl.BlockSpec((E,), lambda b, t: (0,)),
+            pl.BlockSpec((Cx, E), lambda b, t: (0, 0)),
+            pl.BlockSpec((E,), lambda b, t: (0,)),
+            pl.BlockSpec((E,), lambda b, t: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, HM8, E), lambda b, t: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, HM8, E), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((HM8, 1), jnp.float32),
+            pltpu.VMEM((HM8, 1), jnp.float32),
+            pltpu.VMEM((HM8, E), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_len, x_in, x_pos_k, qh, qwk, swk, bk, qwv, swv, bv)
+    return _extract_diag(out, num_heads, M)

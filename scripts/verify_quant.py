@@ -38,6 +38,7 @@ from fact_clip_tpu.ops.pallas.quant_conv import (
     dense_q8,
     dilated_residual_stack_q8,
     dilated_residual2_stack_q8,
+    mha_cross_attention_q8,
     x2y_attention_q8,
 )
 
@@ -187,6 +188,27 @@ def main():
         check(f"{tag} attn B={Bx} X={X} Y={Y} d={d}",
               np.all(np.isfinite(attn)) and ra < 0.05, f"rel-err {ra:.2e}")
         check(f"{tag} probs", rp < 0.05, f"rel-err {rp:.2e}")
+
+    # SCA multi-head cross-attention with quantized K/V projections
+    from fact_clip_tpu.ops.pallas.mha_attn import _mha_reference
+
+    Bm, M, Xm, E, Cx, H = (2, 40, 3000, 256, 256, 8) if not cpu_smoke else (2, 10, 1500, 256, 256, 8)
+    q = jnp.array(rng.normal(size=(Bm, M, E)).astype(np.float32))
+    xm = jnp.array(rng.normal(size=(Bm, Xm, Cx)).astype(np.float32))
+    posm = jnp.array(rng.normal(size=(1, Xm, Cx)).astype(np.float32))
+    wkm = jnp.array(rng.normal(size=(Cx, E)).astype(np.float32) * 0.05)
+    bkm = jnp.array(rng.normal(size=(E,)).astype(np.float32) * 0.05)
+    wvm = jnp.array(rng.normal(size=(Cx, E)).astype(np.float32) * 0.05)
+    bvm = jnp.array(rng.normal(size=(E,)).astype(np.float32) * 0.05)
+    xlm = jnp.array([Xm, Xm - Xm // 4], jnp.int32)
+    mq8kw = dict(interpret=True, tile=256) if cpu_smoke else {}
+    outm = np.asarray(jax.jit(
+        lambda *a: mha_cross_attention_q8(*a, num_heads=H, **mq8kw)
+    )(q, xm, posm, wkm, bkm, wvm, bvm, xlm))
+    refm = np.asarray(_mha_reference(q, xm, posm, wkm, bkm, wvm, bvm, xlm, None, H))
+    rm = _rel(outm, refm)
+    check(f"mha-q8 B={Bm} M={M} X={Xm} E={E} H={H}",
+          np.all(np.isfinite(outm)) and rm < 0.05, f"rel-err {rm:.2e}")
 
     sys.exit(0 if ok else 1)
 

@@ -1414,3 +1414,28 @@ def test_x2y_q8_close_to_xla(rng, X, Y):
     np.testing.assert_array_equal(lg[~vm], -1e9)
     s = np.asarray(probs).sum(-1)
     np.testing.assert_allclose(s, 1.0, atol=1e-5)
+
+
+def test_mha_q8_close_to_xla(rng):
+    """Quantized-K/V MHA twin tracks the XLA multi-head reference within
+    dynamic-quant tolerance (projections int8, softmax/attend unchanged)."""
+    from fact_clip_tpu.ops.pallas.mha_attn import _mha_reference
+    from fact_clip_tpu.ops.pallas.quant_conv import mha_cross_attention_q8
+
+    B, M, X, E, Cx, H = 2, 10, 1500, 256, 256, 8
+    q = jnp.array(rng.normal(size=(B, M, E)).astype(np.float32))
+    x = jnp.array(rng.normal(size=(B, X, Cx)).astype(np.float32))
+    pos = jnp.array(rng.normal(size=(1, X, Cx)).astype(np.float32))
+    wk = jnp.array(rng.normal(size=(Cx, E)).astype(np.float32) * 0.05)
+    bk = jnp.array(rng.normal(size=(E,)).astype(np.float32) * 0.05)
+    wv = jnp.array(rng.normal(size=(Cx, E)).astype(np.float32) * 0.05)
+    bv = jnp.array(rng.normal(size=(E,)).astype(np.float32) * 0.05)
+    x_len = jnp.array([X, X - 321], jnp.int32)
+
+    out = mha_cross_attention_q8(q, x, pos, wk, bk, wv, bv, x_len, num_heads=H,
+                                 tile=256, interpret=True)
+    ref = _mha_reference(q, x, pos, wk, bk, wv, bv, x_len, None, H)
+    out, ref = np.asarray(out), np.asarray(ref)
+    assert np.all(np.isfinite(out))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.05, f"relative error {rel:.4f}"
