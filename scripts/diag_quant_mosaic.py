@@ -11,6 +11,11 @@ Checks, on the real TPU:
      hypothesis holds.
   2. use_ln=True, per-layer-count sweep L=1..6: error growth with depth.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -44,10 +49,13 @@ def main():
     mask[-1, (3 * T) // 4:] = False
     mask = jnp.array(mask)
 
+    # pre-generate the L=6 layer set once from a fixed seed and slice per
+    # config, so the depth/LN sweep compares identical weight draws
+    all_layers = _layers1(np.random.default_rng(1), C, 6)
     for use_ln in (False, True):
         for L in (1, 2, 4, 6):
             dils = [2 ** i for i in range(L)]
-            layers = _layers1(rng, C, L)
+            layers = all_layers[:L]
             f = lambda x: dilated_residual_stack_q8(x, mask, layers, dils,
                                                     use_ln=use_ln)
             m = np.asarray(jax.jit(f)(x))

@@ -98,6 +98,22 @@ def measure(block, B, D, dtype, T_video=3000, bucket=3072, C=75, ntoken=40):
             "step_ms": round(step_ms, 3), "mfps": round(fps / 1e6, 3)}
 
 
+def _merge(path, results):
+    """Merge new entries into the existing report (keyed by config) instead
+    of clobbering it — partial re-runs must not lose prior sweep coverage."""
+    old = []
+    if os.path.exists(path):
+        with open(path) as fh:
+            try:
+                old = json.load(fh)
+            except json.JSONDecodeError:
+                old = []
+    key = lambda r: (r.get("block"), r.get("B"), r.get("D"), r.get("dtype"))
+    merged = {key(r): r for r in old}
+    merged.update({key(r): r for r in results})
+    return list(merged.values())
+
+
 def main():
     results = []
     runs = [
@@ -125,8 +141,9 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"FAILED block={block} B={B} D={D} dtype={dtype}: {e}")
             results.append({"block": block, "B": B, "D": D, "dtype": dtype, "error": str(e)})
-        with open(os.path.join(os.path.dirname(__file__), "batch_sweep_results.json"), "w") as fh:
-            json.dump(results, fh, indent=2)
+        path = os.path.join(os.path.dirname(__file__), "batch_sweep_results.json")
+        with open(path, "w") as fh:
+            json.dump(_merge(path, results), fh, indent=2)
     print(json.dumps(results, indent=2))
 
 

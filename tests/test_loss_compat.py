@@ -75,6 +75,71 @@ def test_ref_order_identity_when_sorted_or_uniform():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(sweight))
 
 
+def test_action_token_contrastive_loss_parity_vs_reference():
+    """Torch-oracle parity for the token<->text contrastive loss (#26) against
+    the live reference implementation (loss.py:344-384), like losses #21-#25.
+
+    Reference form: pairs (action_ind, seg_ind), tokens (M, 1, E), unbatched.
+    Ours: seg2tok (B, S) per-segment token indices, batched + seg_mask.  The
+    pair list is the same data — pair i = (token seg2tok[i], segment i) — and
+    CE over the S x S similarity is invariant to a joint row/col permutation,
+    which the second check exercises with a shuffled reference pair order.
+    """
+    import pytest
+
+    if not os.path.isdir(REF):
+        pytest.skip("reference not available")
+    import torch
+
+    sys.path.insert(0, REF)
+    try:
+        from fact_clip.models.loss import (
+            action_token_contrastive_loss as ref_fn,
+        )
+    finally:
+        sys.path.remove(REF)
+
+    rng = np.random.default_rng(7)
+    M, E, n, temperature = 10, 16, 7, 0.07
+    S_pad = 5
+
+    # two videos with different true segment counts (second one padded)
+    cases = [(5, np.array([4, 1, 8, 0, 6])), (3, np.array([2, 9, 5, 0, 0]))]
+    tokens = rng.normal(size=(2, M, E)).astype(np.float32)
+    text = rng.normal(size=(n, E)).astype(np.float32)
+    transcripts = np.stack([
+        np.array([3, 1, 3, 6, 0]),  # duplicate class on purpose
+        np.array([2, 5, 4, 0, 0]),
+    ]).astype(np.int64)
+
+    refs = []
+    for b, (S, seg2tok) in enumerate(cases):
+        proj = torch.from_numpy(tokens[b][:, None, :])  # (M, 1, E)
+        action_ind = torch.from_numpy(seg2tok[:S])
+        seg_ind = torch.arange(S)
+        with torch.no_grad():
+            r = ref_fn(proj, torch.from_numpy(text),
+                       (action_ind, seg_ind),
+                       torch.from_numpy(transcripts[b][:S]), temperature)
+        refs.append(float(r))
+        # joint permutation of the pair list leaves the loss unchanged
+        perm = torch.from_numpy(rng.permutation(S))
+        with torch.no_grad():
+            r_perm = ref_fn(proj, torch.from_numpy(text),
+                            (action_ind[perm], seg_ind[perm]),
+                            torch.from_numpy(transcripts[b][:S]), temperature)
+        np.testing.assert_allclose(float(r_perm), refs[-1], rtol=1e-5)
+
+    seg2tok = np.stack([c[1] for c in cases])
+    seg_mask = np.arange(S_pad)[None, :] < np.array([c[0] for c in cases])[:, None]
+    ours = losses.action_token_contrastive_loss(
+        jnp.asarray(tokens), jnp.asarray(text), jnp.asarray(seg2tok),
+        jnp.asarray(transcripts.astype(np.int32)), jnp.asarray(seg_mask),
+        temperature,
+    )
+    np.testing.assert_allclose(np.asarray(ours), np.array(refs, np.float32), rtol=1e-5)
+
+
 def test_egoprocel_bgw_loss_parity_vs_reference():
     """bgw=0.5 (egoprocel) + ref_weight_order=True must match the live
     reference's end-to-end loss; also quantifies the flag-off delta."""
