@@ -76,3 +76,42 @@ def test_timeout_without_last_good_exits_nonzero(bench, monkeypatch, capsys):
         bench._wait_for_tpu(max_wait_s=0.01, probe_timeout_s=0.01)
     assert e.value.code == 1
     assert capsys.readouterr().out == ""
+
+
+def test_median_iqr():
+    med, iqr = bench_stats([1.0, 2.0, 3.0, 4.0, 100.0])
+    assert med == 3.0  # robust to the outlier sample
+    assert iqr == pytest.approx(2.0)
+
+
+def bench_stats(samples):
+    import bench as bench_mod
+
+    return bench_mod._median_iqr(samples)
+
+
+def test_last_good_gated_on_median_not_worse(bench):
+    good = {"metric": "frames_per_sec_per_chip", "value": 1000.0}
+    with open(bench.LAST_GOOD, "w") as f:
+        json.dump(good, f)
+
+    # a >10%-worse median must NOT overwrite the cache
+    bench._update_last_good({"metric": "frames_per_sec_per_chip", "value": 800.0})
+    with open(bench.LAST_GOOD) as f:
+        assert json.load(f)["value"] == 1000.0
+
+    # within-noise (or better) medians refresh it
+    bench._update_last_good({"metric": "frames_per_sec_per_chip", "value": 950.0})
+    with open(bench.LAST_GOOD) as f:
+        assert json.load(f)["value"] == 950.0
+
+
+def test_last_good_stale_entry_always_replaced(bench):
+    stale = {"metric": "frames_per_sec_per_chip", "value": 5000.0, "stale": True}
+    with open(bench.LAST_GOOD, "w") as f:
+        json.dump(stale, f)
+    # a stale marker is not a measurement — any fresh number replaces it
+    bench._update_last_good({"metric": "frames_per_sec_per_chip", "value": 800.0})
+    with open(bench.LAST_GOOD) as f:
+        out = json.load(f)
+    assert out["value"] == 800.0 and "stale" not in out
