@@ -167,6 +167,53 @@ def test_train_step_on_2d_mesh():
     np.testing.assert_allclose(float(out["loss"]), float(out2["loss"]), rtol=1e-4)
 
 
+def test_epic_scale_seq_sharding_T98k():
+    """Sequence sharding at sr=4 Epic-Kitchens length (SURVEY §2.6 long-T):
+    the full forward AND a full train step at T=98,304 frames — 12,288
+    frames per shard on the 8-device mesh — must match the dense result.
+
+    The small-channel model keeps this CPU-feasible; the sharded machinery
+    under test (GSPMD halo exchange through the dilated towers, collective
+    cross-attention/softmax over the time axis, masked losses, matching) is
+    exactly what runs at production channel widths.
+    """
+    from fact_clip_tpu.engine.state import create_train_state
+    from fact_clip_tpu.engine.steps import make_step_fns
+    from fact_clip_tpu.models import losses
+
+    T = 98_304  # 8 x 12,288
+    cfg, model, params, batch, C = _small_model_and_batch(T=T, min_len=T - 9_000)
+
+    fwd = jax.jit(lambda p, f, m, l: model.apply(p, f, m, l, train=False)[0][-1]["frame_clogit"])
+    ref = np.array(fwd(params, batch["feats"], batch["mask"], batch["lengths"]))
+
+    m = mesh_lib.make_mesh(n_data=1, n_seq=8)
+    feats_s = jax.device_put(batch["feats"], NamedSharding(m, P(None, "seq", None)))
+    mask_s = jax.device_put(batch["mask"], NamedSharding(m, P(None, "seq")))
+    len_s = jax.device_put(batch["lengths"], NamedSharding(m, P()))
+    params_s = jax.device_put(params, NamedSharding(m, P()))
+    out = np.array(fwd(params_s, feats_s, mask_s, len_s))
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+    # full train step (backward + auction matching + Adam) at the same length
+    cfg.TPU.matcher = "auction"
+    cweight = losses.build_class_weights(cfg, C, [0])
+    train_step, _ = make_step_fns(model, cfg, C, cweight)
+    fresh = jax.tree_util.tree_map(jnp.array, params["params"])
+    state = create_train_state(model, fresh, cfg, steps_per_epoch=10)
+    state = mesh_lib.replicate_tree(m, state)
+    state2 = create_train_state(
+        model, jax.tree_util.tree_map(jnp.array, params["params"]), cfg, steps_per_epoch=10
+    )
+    sharded = mesh_lib.shard_batch_2d(m, batch)
+    assert sharded["feats"].sharding.spec == P("data", "seq", None)
+
+    state, out = train_step(state, sharded, jax.random.PRNGKey(0))
+    _, out2 = train_step(state2, dict(batch), jax.random.PRNGKey(0))
+    assert np.isfinite(float(out["loss"]))
+    np.testing.assert_allclose(float(out["loss"]), float(out2["loss"]), rtol=1e-4)
+
+
 def test_make_hybrid_mesh_shapes():
     m = mesh_lib.make_hybrid_mesh(n_slice=2, n_data=2, n_seq=2)
     assert m.devices.shape == (2, 2, 2)
