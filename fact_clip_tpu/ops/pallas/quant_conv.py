@@ -87,9 +87,31 @@ def _quantize_rows(x):
     return q, s
 
 
+def _ln_normalize(out, eps: float, ln_impl: str):
+    """In-kernel LayerNorm normalization with a selectable backend-stable
+    implementation.
+
+    The Mosaic-vs-interpret hardware check (scripts/verify_quant.py) showed
+    the LN transcendental is the only cross-backend divergence in this
+    kernel: the no-LN MS-TCN++ twin is bit-exact across backends while the
+    LN'd MSTCN stack drifts ~2e-3 (VERIFY_r03) — consistent with the VPU's
+    approximated rsqrt differing from XLA:CPU's by ulps that requantization
+    then amplifies into int8 quantum flips.  ``div_sqrt`` routes through
+    sqrt + true divide (both IEEE-rounded on the VPU, like the quantization
+    divides that are already bit-exact cross-backend); ``rsqrt`` keeps the
+    fused hardware approximation.
+    """
+    mean = out.mean(axis=-1, keepdims=True)
+    var = ((out - mean) ** 2).mean(axis=-1, keepdims=True)
+    if ln_impl == "div_sqrt":
+        return (out - mean) / jnp.sqrt(var + eps)
+    return (out - mean) * jax.lax.rsqrt(var + eps)
+
+
 def _stack_kernel_q8(len_ref, x_ref, qwd_ref, swd_ref, bd_ref, qw1_ref, sw1_ref,
                      b1_ref, g_ref, beta_ref, o_ref, *, dilation: int, halo: int,
-                     tile: int, use_ln: bool, eps: float, n_tiles: int):
+                     tile: int, use_ln: bool, eps: float, n_tiles: int,
+                     ln_impl: str):
     d, hp = dilation, halo
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -135,9 +157,7 @@ def _stack_kernel_q8(len_ref, x_ref, qwd_ref, swd_ref, bd_ref, qw1_ref, sw1_ref,
     out = out + mid_f
 
     if use_ln:
-        mean = out.mean(axis=-1, keepdims=True)
-        var = ((out - mean) ** 2).mean(axis=-1, keepdims=True)
-        out = (out - mean) * jax.lax.rsqrt(var + eps)
+        out = _ln_normalize(out, eps, ln_impl)
         out = out * g_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
 
     # write-mask: padded frames stay zero in the inter-layer buffer
@@ -147,7 +167,7 @@ def _stack_kernel_q8(len_ref, x_ref, qwd_ref, swd_ref, bd_ref, qw1_ref, sw1_ref,
 
 def _stack_layer_q8(x_ext, lengths, qwd, swd, bd, qw1, sw1, b1, gamma, beta, *,
                     dilation: int, halo_max: int, tile: int, n_tiles: int,
-                    use_ln: bool, eps: float, interpret: bool):
+                    use_ln: bool, eps: float, interpret: bool, ln_impl: str):
     """One quantized layer on the extended buffer (same layout contract as
     dilated_conv._stack_layer: read window spans only this layer's halo,
     output halo regions are never written)."""
@@ -157,7 +177,7 @@ def _stack_layer_q8(x_ext, lengths, qwd, swd, bd, qw1, sw1, b1, gamma, beta, *,
     assert halo_max % tile == 0
     kernel = functools.partial(
         _stack_kernel_q8, dilation=dilation, halo=halo_d, tile=tile,
-        use_ln=use_ln, eps=eps, n_tiles=n_tiles,
+        use_ln=use_ln, eps=eps, n_tiles=n_tiles, ln_impl=ln_impl,
     )
     return pl.pallas_call(
         kernel,
@@ -185,7 +205,7 @@ def _stack_layer_q8(x_ext, lengths, qwd, swd, bd, qw1, sw1, b1, gamma, beta, *,
 
 def dilated_residual_stack_q8(x, mask, layers, dilations, *, use_ln: bool = True,
                               eps: float = 1e-5, tile: int = 512,
-                              interpret: bool = False):
+                              interpret: bool = False, ln_impl: str = "div_sqrt"):
     """Int8 fused MSTCN tower: N quantized dilated-residual layers, one pad,
     one slice.  Same signature contract as ``dilated_residual_stack`` minus
     dropout (inference-only path — eval never drops).
@@ -210,7 +230,7 @@ def dilated_residual_stack_q8(x, mask, layers, dilations, *, use_ln: bool = True
             gamma if gamma is not None else jnp.ones((C,), jnp.float32),
             beta if beta is not None else jnp.zeros((C,), jnp.float32),
             dilation=d, halo_max=halo, tile=tile, n_tiles=n_tiles,
-            use_ln=use_ln, eps=eps, interpret=interpret,
+            use_ln=use_ln, eps=eps, interpret=interpret, ln_impl=ln_impl,
         )
     return x_ext[:, halo : halo + T]
 

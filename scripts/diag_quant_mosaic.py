@@ -52,18 +52,19 @@ def main():
     # pre-generate the L=6 layer set once from a fixed seed and slice per
     # config, so the depth/LN sweep compares identical weight draws
     all_layers = _layers1(np.random.default_rng(1), C, 6)
-    for use_ln in (False, True):
+    for use_ln, ln_impl in ((False, "rsqrt"), (True, "rsqrt"), (True, "div_sqrt")):
         for L in (1, 2, 4, 6):
             dils = [2 ** i for i in range(L)]
             layers = all_layers[:L]
-            f = lambda x: dilated_residual_stack_q8(x, mask, layers, dils,
-                                                    use_ln=use_ln)
-            m = np.asarray(jax.jit(f)(x))
+            kw = dict(use_ln=use_ln, ln_impl=ln_impl)
+            m = np.asarray(jax.jit(lambda x: dilated_residual_stack_q8(
+                x, mask, layers, dils, **kw))(x))
             i = np.asarray(jax.jit(lambda x: dilated_residual_stack_q8(
-                x, mask, layers, dils, use_ln=use_ln, interpret=True))(x))
+                x, mask, layers, dils, interpret=True, **kw))(x))
             n_diff = int((m != i).sum())
-            print(f"use_ln={use_ln} L={L}: rel={_rel(m, i):.3e} "
-                  f"n_diff={n_diff}/{m.size} max_abs={np.abs(m - i).max():.3e}")
+            print(f"use_ln={use_ln} ln={ln_impl} L={L}: rel={_rel(m, i):.3e} "
+                  f"n_diff={n_diff}/{m.size} max_abs={np.abs(m - i).max():.3e}",
+                  flush=True)
 
 
 if __name__ == "__main__":
