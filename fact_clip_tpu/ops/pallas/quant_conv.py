@@ -92,14 +92,16 @@ def _ln_normalize(out, eps: float, ln_impl: str):
     implementation.
 
     The Mosaic-vs-interpret hardware check (scripts/verify_quant.py) showed
-    the LN transcendental is the only cross-backend divergence in this
-    kernel: the no-LN MS-TCN++ twin is bit-exact across backends while the
-    LN'd MSTCN stack drifts ~2e-3 (VERIFY_r03) — consistent with the VPU's
-    approximated rsqrt differing from XLA:CPU's by ulps that requantization
-    then amplifies into int8 quantum flips.  ``div_sqrt`` routes through
-    sqrt + true divide (both IEEE-rounded on the VPU, like the quantization
-    divides that are already bit-exact cross-backend); ``rsqrt`` keeps the
-    fused hardware approximation.
+    LN is the only cross-backend divergence in this kernel: the no-LN path
+    is BIT-EXACT across backends at every depth while the LN'd stack
+    differs at the ulp level (~1e-7) that requantization amplifies into
+    int8 quantum flips at depth (measured round 4, diag_quant_mosaic.py).
+    Both implementations were swept on hardware: ``div_sqrt`` (IEEE sqrt +
+    true divide) is NOT better than the fused hardware ``rsqrt`` — the ulps
+    come from the mean/var reduction order, which no scalar-op choice can
+    align across backends — so the default stays on the faster ``rsqrt``
+    and the hardware gate uses an f32-relative error model instead of
+    bitwise agreement (see scripts/verify_quant.py).
     """
     mean = out.mean(axis=-1, keepdims=True)
     var = ((out - mean) ** 2).mean(axis=-1, keepdims=True)
@@ -205,7 +207,7 @@ def _stack_layer_q8(x_ext, lengths, qwd, swd, bd, qw1, sw1, b1, gamma, beta, *,
 
 def dilated_residual_stack_q8(x, mask, layers, dilations, *, use_ln: bool = True,
                               eps: float = 1e-5, tile: int = 512,
-                              interpret: bool = False, ln_impl: str = "div_sqrt"):
+                              interpret: bool = False, ln_impl: str = "rsqrt"):
     """Int8 fused MSTCN tower: N quantized dilated-residual layers, one pad,
     one slice.  Same signature contract as ``dilated_residual_stack`` minus
     dropout (inference-only path — eval never drops).

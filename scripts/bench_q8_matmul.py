@@ -35,27 +35,39 @@ N = 512  # operand tile (N, N); fits VMEM with room to spare
 INNER = 64  # dots per kernel invocation
 
 
-def _chain_kernel(a_ref, b_ref, o_ref, *, in_dtype, acc_dtype):
-    """INNER dependent MXU dots; the dependency defeats CSE/hoisting."""
+def _chain_kernel(a_ref, b_ref, o_ref, acc_scr, *, in_dtype, acc_dtype,
+                  grid: int):
+    """INNER dependent MXU dots per grid step; the scratch accumulator
+    carries state across grid steps so no iteration can be elided, and the
+    in-step operand feedback keeps the dots serial."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
     a = a_ref[...]
     b = b_ref[...]
-    acc = jnp.zeros((N, N), jnp.float32)
+    acc = acc_scr[...]
     for _ in range(INNER):
         d = jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())), preferred_element_type=acc_dtype
         )
         acc = acc + d.astype(jnp.float32)
-        # feed a value derived from the result back into the next dot's
-        # operand so the chain is serial; keep it cheap and dtype-legal
         if in_dtype == jnp.int8:
-            a = a ^ d[:1, :1].astype(jnp.int8)
+            a = a ^ d[0, 0].astype(jnp.int8)
         else:
-            a = a + d[:1, :1].astype(in_dtype) * in_dtype(1e-30)
-    o_ref[...] = acc
+            a = a + (d[0, 0] * 1e-30).astype(in_dtype)
+    acc_scr[...] = acc
+
+    @pl.when(i == grid - 1)
+    def _finish():
+        o_ref[...] = acc_scr[...]
 
 
 def make_bench(in_dtype, acc_dtype, grid: int):
-    kernel = functools.partial(_chain_kernel, in_dtype=in_dtype, acc_dtype=acc_dtype)
+    kernel = functools.partial(_chain_kernel, in_dtype=in_dtype,
+                               acc_dtype=acc_dtype, grid=grid)
     f = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -65,6 +77,7 @@ def make_bench(in_dtype, acc_dtype, grid: int):
         ],
         out_specs=pl.BlockSpec((N, N), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((N, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((N, N), jnp.float32)],
     )
     return jax.jit(f)
 
@@ -78,15 +91,18 @@ def time_one(in_dtype, acc_dtype, g1=8, g2=64, reps=5):
         a = jnp.asarray(rng.normal(size=(N, N)), in_dtype)
         b = jnp.asarray(rng.normal(size=(N, N)), in_dtype)
     f1, f2 = make_bench(in_dtype, acc_dtype, g1), make_bench(in_dtype, acc_dtype, g2)
-    f1(a, b).block_until_ready()
-    f2(a, b).block_until_ready()
+    # np.asarray (device->host read), NOT block_until_ready: on the axon
+    # relay only a result fetch provably waits for execution (bench.py does
+    # the same)
+    np.asarray(f1(a, b))
+    np.asarray(f2(a, b))
     samples = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        f1(a, b).block_until_ready()
+        np.asarray(f1(a, b))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        f2(a, b).block_until_ready()
+        np.asarray(f2(a, b))
         t2 = time.perf_counter() - t0
         samples.append((t2 - t1) / (g2 - g1))
     per_grid = float(np.median(samples))

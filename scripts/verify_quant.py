@@ -10,9 +10,26 @@ short-bucket shapes, against two references:
   accumulate ~0.5%/layer-ish drift — ~2% at 6-10 layers — so the gate is
   <5%; *trained* models reproduce f32 metrics exactly, gated separately by
   the CPU e2e check in tests and the agreement figure in bench_quant.py);
-- the same q8 math in interpret mode (Mosaic-correctness gate, <1e-3 —
-  identical arithmetic up to reduction order, so a looser-than-1e-5 gate
-  only to absorb int8 MXU accumulation-order differences).
+- the same q8 math in interpret mode (Mosaic-correctness gates).
+
+The Mosaic-correctness gates are derived from the round-4 cross-backend
+error model (scripts/diag_quant_mosaic.py, measured on hardware):
+
+* the int8 arithmetic itself is deterministic — the no-LN stack variants
+  are BIT-EXACT between Mosaic and interpret at every depth, so those
+  checks require exact equality (a strong regression gate on the whole
+  quantize/dot/dequant path);
+* in-kernel LayerNorm cannot be bitwise-aligned across backends: the
+  mean/var reductions differ in accumulation order (ulps ~1e-7), and each
+  requantization turns ulps near a round() boundary into +-1 int8 quantum
+  flips that cascade with depth (measured: 1e-7 at L<=2 growing to
+  0.4-2e-3 at L=6, for BOTH rsqrt and sqrt+div LN implementations).
+  Interpret mode is therefore not "more correct" than Mosaic — both are
+  valid evaluations of the same quantized network.  What CI pins (interpret
+  metrics == f32 metrics, tests/test_quantized_eval.py) transfers to
+  hardware iff the hardware kernel approximates the f32 reference at least
+  as well as the interpret kernel does, so the LN'd gate is relative:
+  rel(mosaic, f32) <= max(2 x rel(interpret, f32), 1e-4).
 
 CI runs these kernels only in interpret mode on CPU
 (tests/test_pallas_kernels.py); this script is part of the
@@ -119,11 +136,23 @@ def main():
               np.all(np.isfinite(q8)) and _rel(q8, f32) < 0.05,
               f"rel-err {_rel(q8, f32):.2e}")
         if tag == "short" and not cpu_smoke:
-            # interpret mode unrolls the grid into XLA ops — short shape only
+            # interpret mode unrolls the grid into XLA ops — short shape only.
+            # LN'd stack: error-model gate (see module docstring) — hardware
+            # must approximate f32 at least as well as interpret does
             q8i = np.asarray(jax.jit(lambda x: dilated_residual_stack_q8(
                 x, mask, layers, dils, interpret=True))(x))
-            check(f"mstcn-q8-mosaic-vs-interpret {tag}", _rel(q8, q8i) < 1e-3,
-                  f"rel-err {_rel(q8, q8i):.2e}")
+            rm, ri = _rel(q8, f32), _rel(q8i, f32)
+            check(f"mstcn-q8-mosaic-f32-parity {tag}",
+                  rm <= max(2.0 * ri, 1e-4),
+                  f"mosaic-vs-f32 {rm:.2e} interpret-vs-f32 {ri:.2e}")
+            # no-LN twin: the pure int8 path is bit-exact across backends
+            q8n = np.asarray(jax.jit(lambda x: dilated_residual_stack_q8(
+                x, mask, layers, dils, use_ln=False))(x))
+            q8ni = np.asarray(jax.jit(lambda x: dilated_residual_stack_q8(
+                x, mask, layers, dils, use_ln=False, interpret=True))(x))
+            check(f"mstcn-q8-noln-mosaic-vs-interpret-exact {tag}",
+                  np.array_equal(q8n, q8ni),
+                  f"n_diff {int((q8n != q8ni).sum())}/{q8n.size}")
 
         dpairs = [(2 ** (L - 1 - i), 2 ** i) for i in range(L)]
         layers2 = _layers2(rng, C, L)
@@ -135,10 +164,13 @@ def main():
               np.all(np.isfinite(q8_2)) and _rel(q8_2, f32_2) < 0.05,
               f"rel-err {_rel(q8_2, f32_2):.2e}")
         if tag == "short" and not cpu_smoke:
+            # MS-TCN++ has no LN -> bit-exact across backends (tightened
+            # from the old <1e-3 gate per the round-4 error model)
             q8_2i = np.asarray(jax.jit(lambda x: dilated_residual2_stack_q8(
                 x, mask, layers2, dpairs, interpret=True))(x))
-            check(f"mstcn2-q8-mosaic-vs-interpret {tag}", _rel(q8_2, q8_2i) < 1e-3,
-                  f"rel-err {_rel(q8_2, q8_2i):.2e}")
+            check(f"mstcn2-q8-mosaic-vs-interpret-exact {tag}",
+                  np.array_equal(q8_2, q8_2i),
+                  f"n_diff {int((q8_2 != q8_2i).sum())}/{q8_2.size}")
 
     # in_map-scale int8 dense (plain XLA, no kernel)
     B, T, D, H = 8, 3000, 2048, 256
