@@ -54,6 +54,21 @@ def quantize_weight(w, axis: int = -2):
     return q, jnp.squeeze(s, axis=axis) / (127.0 * 127.0)
 
 
+def quantize_weight_joint(w):
+    """Joint-tap per-output-channel int8 conv weights.
+
+    ``w`` is (K, C_in, C_out); ONE scale per output channel across all K
+    taps and C_in, so the K tap dot outputs share a dequantization factor
+    and can be summed in int32 on the MXU before a single dequant pass —
+    the key VPU saving of the ``act_scale="tile"`` path.  Same folded-scale
+    convention as ``quantize_weight``.
+    """
+    w = w.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1), keepdims=True), 1e-12)
+    q = jnp.round(w * (127.0 / s)).astype(jnp.int8)
+    return q, jnp.squeeze(s, axis=(0, 1)) / (127.0 * 127.0)
+
+
 def dense_q8(x, w, b):
     """Plain-XLA int8 dense for evaluation: dynamic per-row activation
     scales, per-output-channel weight scales, s8 x s8 -> s32 on the MXU.
@@ -113,50 +128,82 @@ def _ln_normalize(out, eps: float, ln_impl: str):
 def _stack_kernel_q8(len_ref, x_ref, qwd_ref, swd_ref, bd_ref, qw1_ref, sw1_ref,
                      b1_ref, g_ref, beta_ref, o_ref, *, dilation: int, halo: int,
                      tile: int, use_ln: bool, eps: float, n_tiles: int,
-                     ln_impl: str):
+                     ln_impl: str, act_scale: str):
     d, hp = dilation, halo
     b = pl.program_id(0)
     t = pl.program_id(1)
 
-    # quantize the whole VMEM window once; the three taps are row-shifted
-    # static slices of the same int8 buffer + scale vector
     xw = x_ref[0, :, :].astype(jnp.float32)  # (tile + 2*halo, C)
-    qx, sx = _quantize_rows(xw)
-
-    q_left = qx[hp - d : hp - d + tile, :]
-    q_mid = qx[hp : hp + tile, :]
-    q_right = qx[hp + d : hp + d + tile, :]
-    s_left = sx[hp - d : hp - d + tile, :]
-    s_mid = sx[hp : hp + tile, :]
-    s_right = sx[hp + d : hp + d + tile, :]
-
     row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
     pos = t * tile + row
-    # edge reads into unwritten halo garbage: zero the int8 rows whose
-    # absolute center-time falls outside [0, T_pad) (conv SAME zero pad);
-    # absolute conditions — with dilation > tile the garbage spans tiles
-    zero8 = jnp.zeros((), jnp.int8)
-    q_left = jnp.where(pos < d, zero8, q_left)
-    q_right = jnp.where(pos >= n_tiles * tile - d, zero8, q_right)
-    # ... and their row scales: garbage rows quantize to garbage scales, and
-    # NaN * zeroed-int8-dot is still NaN in the dequant multiply
-    s_left = jnp.where(pos < d, 0.0, s_left)
-    s_right = jnp.where(pos >= n_tiles * tile - d, 0.0, s_right)
 
-    acc = jnp.dot(q_left, qwd_ref[0], preferred_element_type=jnp.int32)
-    acc = acc.astype(jnp.float32) * s_left * swd_ref[0][None, :]
-    a1 = jnp.dot(q_mid, qwd_ref[1], preferred_element_type=jnp.int32)
-    acc += a1.astype(jnp.float32) * s_mid * swd_ref[1][None, :]
-    a2 = jnp.dot(q_right, qwd_ref[2], preferred_element_type=jnp.int32)
-    acc += a2.astype(jnp.float32) * s_right * swd_ref[2][None, :]
-    acc = jax.nn.relu(acc + bd_ref[:].astype(jnp.float32))
+    if act_scale == "tile":
+        # ONE scalar activation scale for the window; with joint-tap weight
+        # scales the three tap dots share a dequant factor, so they sum in
+        # int32 on the MXU and dequantize in a single pass — the per-row
+        # path below spends ~12 broadcast passes on the same work and is
+        # VPU-bound (BASELINE.md int8 section)
+        wrow = jax.lax.broadcasted_iota(jnp.int32, (tile + 2 * hp, 1), 0)
+        wpos = t * tile - hp + wrow  # absolute time of each window row
+        valid = (wpos >= 0) & (wpos < n_tiles * tile)
+        xm = jnp.where(valid, xw, 0.0)  # zeroes halo garbage AND conv pad
+        s_x = jnp.maximum(jnp.max(jnp.abs(xm)), 1e-12)
+        qx = jnp.round(xm * (127.0 / s_x)).astype(jnp.int8)
 
-    qa, sa = _quantize_rows(acc)
-    out = jnp.dot(qa, qw1_ref[:], preferred_element_type=jnp.int32)
-    out = out.astype(jnp.float32) * sa * sw1_ref[:][None, :]
-    out = out + b1_ref[:].astype(jnp.float32)
-    mid_f = xw[hp : hp + tile, :]
-    out = out + mid_f
+        acc = jnp.dot(qx[hp - d : hp - d + tile], qwd_ref[0],
+                      preferred_element_type=jnp.int32)
+        acc += jnp.dot(qx[hp : hp + tile], qwd_ref[1],
+                       preferred_element_type=jnp.int32)
+        acc += jnp.dot(qx[hp + d : hp + d + tile], qwd_ref[2],
+                       preferred_element_type=jnp.int32)
+        # swd is the joint (C,) scale (quantize_weight_joint)
+        acc = acc.astype(jnp.float32) * (s_x * swd_ref[0][None, :])
+        acc = jax.nn.relu(acc + bd_ref[:].astype(jnp.float32))
+
+        s_a = jnp.maximum(jnp.max(jnp.abs(acc)), 1e-12)
+        qa = jnp.round(acc * (127.0 / s_a)).astype(jnp.int8)
+        out = jnp.dot(qa, qw1_ref[:], preferred_element_type=jnp.int32)
+        out = out.astype(jnp.float32) * (s_a * sw1_ref[:][None, :])
+        out = out + b1_ref[:].astype(jnp.float32)
+        mid_f = xw[hp : hp + tile, :]
+        out = out + mid_f
+    else:
+        # per-row scales: quantize the whole VMEM window once; the three
+        # taps are row-shifted static slices of the same int8 buffer
+        qx, sx = _quantize_rows(xw)
+
+        q_left = qx[hp - d : hp - d + tile, :]
+        q_mid = qx[hp : hp + tile, :]
+        q_right = qx[hp + d : hp + d + tile, :]
+        s_left = sx[hp - d : hp - d + tile, :]
+        s_mid = sx[hp : hp + tile, :]
+        s_right = sx[hp + d : hp + d + tile, :]
+
+        # edge reads into unwritten halo garbage: zero the int8 rows whose
+        # absolute center-time falls outside [0, T_pad) (conv SAME zero pad);
+        # absolute conditions — with dilation > tile the garbage spans tiles
+        zero8 = jnp.zeros((), jnp.int8)
+        q_left = jnp.where(pos < d, zero8, q_left)
+        q_right = jnp.where(pos >= n_tiles * tile - d, zero8, q_right)
+        # ... and their row scales: garbage rows quantize to garbage scales,
+        # and NaN * zeroed-int8-dot is still NaN in the dequant multiply
+        s_left = jnp.where(pos < d, 0.0, s_left)
+        s_right = jnp.where(pos >= n_tiles * tile - d, 0.0, s_right)
+
+        acc = jnp.dot(q_left, qwd_ref[0], preferred_element_type=jnp.int32)
+        acc = acc.astype(jnp.float32) * s_left * swd_ref[0][None, :]
+        a1 = jnp.dot(q_mid, qwd_ref[1], preferred_element_type=jnp.int32)
+        acc += a1.astype(jnp.float32) * s_mid * swd_ref[1][None, :]
+        a2 = jnp.dot(q_right, qwd_ref[2], preferred_element_type=jnp.int32)
+        acc += a2.astype(jnp.float32) * s_right * swd_ref[2][None, :]
+        acc = jax.nn.relu(acc + bd_ref[:].astype(jnp.float32))
+
+        qa, sa = _quantize_rows(acc)
+        out = jnp.dot(qa, qw1_ref[:], preferred_element_type=jnp.int32)
+        out = out.astype(jnp.float32) * sa * sw1_ref[:][None, :]
+        out = out + b1_ref[:].astype(jnp.float32)
+        mid_f = xw[hp : hp + tile, :]
+        out = out + mid_f
 
     if use_ln:
         out = _ln_normalize(out, eps, ln_impl)
@@ -169,7 +216,8 @@ def _stack_kernel_q8(len_ref, x_ref, qwd_ref, swd_ref, bd_ref, qw1_ref, sw1_ref,
 
 def _stack_layer_q8(x_ext, lengths, qwd, swd, bd, qw1, sw1, b1, gamma, beta, *,
                     dilation: int, halo_max: int, tile: int, n_tiles: int,
-                    use_ln: bool, eps: float, interpret: bool, ln_impl: str):
+                    use_ln: bool, eps: float, interpret: bool, ln_impl: str,
+                    act_scale: str):
     """One quantized layer on the extended buffer (same layout contract as
     dilated_conv._stack_layer: read window spans only this layer's halo,
     output halo regions are never written)."""
@@ -180,6 +228,7 @@ def _stack_layer_q8(x_ext, lengths, qwd, swd, bd, qw1, sw1, b1, gamma, beta, *,
     kernel = functools.partial(
         _stack_kernel_q8, dilation=dilation, halo=halo_d, tile=tile,
         use_ln=use_ln, eps=eps, n_tiles=n_tiles, ln_impl=ln_impl,
+        act_scale=act_scale,
     )
     return pl.pallas_call(
         kernel,
@@ -207,7 +256,8 @@ def _stack_layer_q8(x_ext, lengths, qwd, swd, bd, qw1, sw1, b1, gamma, beta, *,
 
 def dilated_residual_stack_q8(x, mask, layers, dilations, *, use_ln: bool = True,
                               eps: float = 1e-5, tile: int = 512,
-                              interpret: bool = False, ln_impl: str = "rsqrt"):
+                              interpret: bool = False, ln_impl: str = "rsqrt",
+                              act_scale: str = "tile"):
     """Int8 fused MSTCN tower: N quantized dilated-residual layers, one pad,
     one slice.  Same signature contract as ``dilated_residual_stack`` minus
     dropout (inference-only path — eval never drops).
@@ -215,6 +265,12 @@ def dilated_residual_stack_q8(x, mask, layers, dilations, *, use_ln: bool = True
     x: (B, T, C); mask: (B, T) bool; layers: sequence of parameter tuples
     (wd, bd, w1, b1, gamma, beta) in f32/bf16 — weights are quantized here,
     per step, with one tiny elementwise pass each.
+
+    act_scale: "tile" (default) = one scalar activation scale per VMEM
+    window + joint-tap weight scales (int32 tap accumulation, single
+    dequant pass — the fast path); "row" = per-frame scales + per-tap
+    weight scales (slightly finer quantization, ~12 extra VPU passes per
+    layer; the round-3 formulation, kept for comparison).
     """
     B, T, C = x.shape
     dilations = tuple(int(d) for d in dilations)
@@ -225,7 +281,11 @@ def dilated_residual_stack_q8(x, mask, layers, dilations, *, use_ln: bool = True
     lengths = mask.astype(jnp.int32).sum(axis=1)
 
     for (wd, bd, w1, b1, gamma, beta), d in zip(layers, dilations):
-        qwd, swd = quantize_weight(wd)  # (3,C,C) int8, (3,C)
+        if act_scale == "tile":
+            qwd, sj = quantize_weight_joint(wd)  # (3,C,C) int8, (C,) joint
+            swd = jnp.stack([sj, sj, sj])  # kernel reads row 0
+        else:
+            qwd, swd = quantize_weight(wd)  # (3,C,C) int8, (3,C)
         qw1, sw1 = quantize_weight(w1)  # (C,C) int8, (C,)
         x_ext = _stack_layer_q8(
             x_ext, lengths, qwd, swd, bd, qw1, sw1, b1,
@@ -233,6 +293,7 @@ def dilated_residual_stack_q8(x, mask, layers, dilations, *, use_ln: bool = True
             beta if beta is not None else jnp.zeros((C,), jnp.float32),
             dilation=d, halo_max=halo, tile=tile, n_tiles=n_tiles,
             use_ln=use_ln, eps=eps, interpret=interpret, ln_impl=ln_impl,
+            act_scale=act_scale,
         )
     return x_ext[:, halo : halo + T]
 
@@ -247,16 +308,53 @@ def dilated_residual_stack_q8(x, mask, layers, dilations, *, use_ln: bool = True
 
 def _stack2_kernel_q8(len_ref, x_ref, qk1_ref, sk1_ref, b1_ref, qk2_ref, sk2_ref,
                       b2_ref, qwt_ref, swt_ref, qwb_ref, swb_ref, bf_ref, o_ref, *,
-                      d1: int, d2: int, halo: int, tile: int, n_tiles: int):
+                      d1: int, d2: int, halo: int, tile: int, n_tiles: int,
+                      act_scale: str):
     hp = halo
     b = pl.program_id(0)
     t = pl.program_id(1)
     xw = x_ref[0, :, :].astype(jnp.float32)
-    qx, sx = _quantize_rows(xw)
     mid_f = xw[hp : hp + tile, :]
     row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
     pos = t * tile + row
     zero8 = jnp.zeros((), jnp.int8)
+
+    if act_scale == "tile":
+        # scalar window scale + joint-tap weight scales: int32 tap
+        # accumulation, one dequant pass per conv (see _stack_kernel_q8)
+        wrow = jax.lax.broadcasted_iota(jnp.int32, (tile + 2 * hp, 1), 0)
+        wpos = t * tile - hp + wrow
+        valid = (wpos >= 0) & (wpos < n_tiles * tile)
+        xm = jnp.where(valid, xw, 0.0)
+        s_x = jnp.maximum(jnp.max(jnp.abs(xm)), 1e-12)
+        qx = jnp.round(xm * (127.0 / s_x)).astype(jnp.int8)
+
+        def conv3_q8(qk_ref, sk_ref, b_ref, d):
+            acc = jnp.dot(qx[hp - d : hp - d + tile], qk_ref[0],
+                          preferred_element_type=jnp.int32)
+            acc += jnp.dot(qx[hp : hp + tile], qk_ref[1],
+                           preferred_element_type=jnp.int32)
+            acc += jnp.dot(qx[hp + d : hp + d + tile], qk_ref[2],
+                           preferred_element_type=jnp.int32)
+            acc = acc.astype(jnp.float32) * (s_x * sk_ref[0][None, :])
+            return acc + b_ref[:].astype(jnp.float32)
+
+        c1 = conv3_q8(qk1_ref, sk1_ref, b1_ref, d1)
+        c2 = conv3_q8(qk2_ref, sk2_ref, b2_ref, d2)
+        s1 = jnp.maximum(jnp.max(jnp.abs(c1)), 1e-12)
+        s2 = jnp.maximum(jnp.max(jnp.abs(c2)), 1e-12)
+        qc1 = jnp.round(c1 * (127.0 / s1)).astype(jnp.int8)
+        qc2 = jnp.round(c2 * (127.0 / s2)).astype(jnp.int8)
+        h = jnp.dot(qc1, qwt_ref[:], preferred_element_type=jnp.int32)
+        h = h.astype(jnp.float32) * (s1 * swt_ref[:][None, :])
+        h2 = jnp.dot(qc2, qwb_ref[:], preferred_element_type=jnp.int32)
+        h += h2.astype(jnp.float32) * (s2 * swb_ref[:][None, :])
+        h = jax.nn.relu(h + bf_ref[:].astype(jnp.float32))
+        mask = ((t * tile + row) < len_ref[b]).astype(jnp.float32)
+        o_ref[0, :, :] = ((h + mid_f) * mask).astype(o_ref.dtype)
+        return
+
+    qx, sx = _quantize_rows(xw)
 
     def conv3_q8(qk_ref, sk_ref, b_ref, d):
         q_left = jnp.where(pos < d, zero8, qx[hp - d : hp - d + tile, :])
@@ -290,14 +388,15 @@ def _stack2_kernel_q8(len_ref, x_ref, qk1_ref, sk1_ref, b1_ref, qk2_ref, sk2_ref
 
 
 def _stack2_layer_q8(x_ext, lengths, qparams, *, d1: int, d2: int, halo_max: int,
-                     tile: int, n_tiles: int, interpret: bool):
+                     tile: int, n_tiles: int, interpret: bool, act_scale: str):
     qk1, sk1, b1, qk2, sk2, b2, qwt, swt, qwb, swb, bf = qparams
     B, T_ext, C = x_ext.shape
     halo_d = -(-max(d1, d2) // 8) * 8
     off = halo_max - halo_d
     assert halo_max % tile == 0
     kernel = functools.partial(
-        _stack2_kernel_q8, d1=d1, d2=d2, halo=halo_d, tile=tile, n_tiles=n_tiles
+        _stack2_kernel_q8, d1=d1, d2=d2, halo=halo_d, tile=tile, n_tiles=n_tiles,
+        act_scale=act_scale,
     )
     return pl.pallas_call(
         kernel,
@@ -327,10 +426,11 @@ def _stack2_layer_q8(x_ext, lengths, qparams, *, d1: int, d2: int, halo_max: int
 
 
 def dilated_residual2_stack_q8(x, mask, layers, dil_pairs, *, tile: int = 512,
-                               interpret: bool = False):
+                               interpret: bool = False, act_scale: str = "tile"):
     """Int8 fused MS-TCN++ tower (inference-only).  layers: (k1, b1, k2, b2,
     wf_top, wf_bot, bf) per layer, exactly the bf16 kernel's split-fuse
-    layout; dil_pairs: (d1, d2) per layer."""
+    layout; dil_pairs: (d1, d2) per layer.  act_scale as in
+    ``dilated_residual_stack_q8``."""
     B, T, C = x.shape
     dil_pairs = tuple((int(a), int(b)) for a, b in dil_pairs)
     _, tile, n_tiles = _tiling(T, tile, 1)
@@ -343,14 +443,20 @@ def dilated_residual2_stack_q8(x, mask, layers, dil_pairs, *, tile: int = 512,
     lengths = mask.astype(jnp.int32).sum(axis=1)
 
     for (k1, b1, k2, b2, wt, wb, bf), (d1, d2) in zip(layers, dil_pairs):
-        qk1, sk1 = quantize_weight(k1)
-        qk2, sk2 = quantize_weight(k2)
+        if act_scale == "tile":
+            qk1, s1 = quantize_weight_joint(k1)
+            sk1 = jnp.stack([s1, s1, s1])
+            qk2, s2 = quantize_weight_joint(k2)
+            sk2 = jnp.stack([s2, s2, s2])
+        else:
+            qk1, sk1 = quantize_weight(k1)
+            qk2, sk2 = quantize_weight(k2)
         qwt, swt = quantize_weight(wt)
         qwb, swb = quantize_weight(wb)
         x_ext = _stack2_layer_q8(
             x_ext, lengths, (qk1, sk1, b1, qk2, sk2, b2, qwt, swt, qwb, swb, bf),
             d1=d1, d2=d2, halo_max=halo, tile=tile, n_tiles=n_tiles,
-            interpret=interpret,
+            interpret=interpret, act_scale=act_scale,
         )
     return x_ext[:, halo : halo + T]
 
