@@ -124,8 +124,21 @@ def _mask_kernel(seed_ref, o_ref, *, rate: float, n_t: int):
     o_ref[0, :, :] = _keep_mask(rate, o_ref.shape[1:])
 
 
+# Per-cell VMEM working-set budget for tile sizing.  v5e has 128 MB of
+# VMEM; 40 MB leaves room for double-buffered input blocks, weights and
+# scratch while letting the flagship shapes (X=3072, HM8=320, E=256) run
+# as a SINGLE key tile — the multi-tile online-softmax passes and their
+# per-grid-step overhead were measured at 3-4x the kernels' roofline at
+# tile=512 (round-4 trace attribution, BASELINE.md).
+_VMEM_BUDGET = 40 * 2**20
+
+# Default requested key tile: large enough that _pick_tile's budget (not
+# this number) decides, so flagship shapes run single-tile.
+_DEFAULT_TILE = 2048
+
+
 def _pick_tile(tile: int, X: int, HM8: int, E: int, bwd: bool = False) -> int:
-    """Cap the key tile so per-cell VMEM stays ~<12MB.
+    """Cap the key tile so per-cell VMEM stays under ``_VMEM_BUDGET``.
 
     bwd=True uses the backward kernel's footprint (x/xpos/k/v/dk/dv/dx/dxk
     tiles + four (HM8, tile) prob-class buffers) instead of the forward's.
@@ -134,13 +147,13 @@ def _pick_tile(tile: int, X: int, HM8: int, E: int, bwd: bool = False) -> int:
     forward is sized with bwd=True in that case; inference (rate=0) keeps
     the larger forward-only tile."""
     streams = (4 * HM8 + 10 * E) if bwd else (2 * HM8 + 6 * E)
-    while tile > 128 and streams * tile * 4 > 12 * 2**20:
+    while tile > 128 and streams * tile * 4 > _VMEM_BUDGET:
         tile //= 2
     return min(tile, max(-(-X // 128) * 128, 128))
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "rate", "tile", "interpret"))
-def mha_dropout_mask(seed, shape, rate: float, tile: int = 512, interpret: bool = False):
+def mha_dropout_mask(seed, shape, rate: float, tile: int = _DEFAULT_TILE, interpret: bool = False):
     """Regenerate the exact scaled keep-mask the fused forward used.
 
     ``shape`` is (B, H*M, X).  Seeding and the per-cell ``prng_random_bits``
@@ -504,7 +517,7 @@ _mha_vjp.defvjp(_mha_fwd, _mha_bwd)
 
 def mha_cross_attention(q, x_in, x_pos_k, wk, bk, wv, bv, x_len, *,
                         num_heads: int, rate: float = 0.0, seed=None,
-                        tile: int = 512, interpret: bool = False,
+                        tile: int = _DEFAULT_TILE, interpret: bool = False,
                         pos_grad: bool = True):
     """Fused multi-head cross-attention over a long key/value stream.
 

@@ -677,7 +677,7 @@ _flash_vjp.defvjp(_flash_fwd, _flash_bwd)
 
 
 def x2y_attention(y_in, y_pos, x_in, x_pos_k, wk, bk, wv, bv, wq, bq, x_len, *,
-                  tile: int = 512, interpret: bool = False):
+                  tile: int = 3072, interpret: bool = False):
     """Fused X2Y attention: returns (attn_feat, probs, logits).
 
     y_in/y_pos: (B, Y, Cy) query stream and its positional add (zeros when
@@ -687,6 +687,11 @@ def x2y_attention(y_in, y_pos, x_in, x_pos_k, wk, bk, wv, bv, wq, bq, x_len, *,
     key prefix.  probs/logits: (B, Y, X) f32; attn_feat: (B, Y, d) f32.
     Picks the flash formulation when X is large, the one-pass small-X
     formulation otherwise.
+
+    tile=3072 default: the flagship bucket runs as a SINGLE X tile (the
+    per-cell working set is ~25 MB of the v5e's 128 MB VMEM) — at tile=512
+    the 6-tile online-softmax passes measured ~3.5x the kernel's roofline
+    (round-4 trace attribution); epic T=24,576 runs 8 tiles.
     """
     X = x_in.shape[1]
     args = (y_in, y_pos, x_in, x_pos_k, wk, bk, wv, bv, (wq, bq, x_len))

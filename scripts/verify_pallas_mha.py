@@ -26,7 +26,8 @@ jax.config.update("jax_default_matmul_precision", "highest")
 sys.path.insert(0, "/root/repo")
 
 from fact_clip_tpu.ops.pallas.mha_attn import (  # noqa: E402
-    _mha_reference, _pick_tile, _round8, mha_cross_attention, mha_dropout_mask,
+    _DEFAULT_TILE, _mha_reference, _pick_tile, _round8, mha_cross_attention,
+    mha_dropout_mask,
 )
 
 ok = True
@@ -66,7 +67,7 @@ def main():
         *a[:-1], num_heads=H, rate=rate, seed=a[-1]))
     out1 = fwd(q, x, pos, wk, bk, wv, bv, x_len, seed)
     M8 = _round8(M)
-    tile = _pick_tile(512, X, H * M8, E, bwd=True)  # the rate>0 fwd tile
+    tile = _pick_tile(_DEFAULT_TILE, X, H * M8, E, bwd=True)  # the rate>0 fwd tile
     keep = mha_dropout_mask(seed, shape=(B, H * M8, X), rate=rate, tile=tile)
     keepr = keep.reshape(B, H, M8, X)[:, :, :M]
     ref1 = _mha_reference(q, x, pos, wk, bk, wv, bv, x_len, keepr, H)
