@@ -1177,6 +1177,67 @@ def test_q8_weight_roundtrip(rng):
     assert np.all(np.abs(rec - np.asarray(w)) <= 0.5 * step + 1e-7)
 
 
+def test_q8_weight_joint_roundtrip(rng):
+    """Joint-tap quantization (act_scale="tile" path): one scale per output
+    channel across taps and C_in; reconstruction within half its step."""
+    from fact_clip_tpu.ops.pallas.quant_conv import quantize_weight_joint
+
+    w = jnp.array(rng.normal(size=(3, 32, 32)).astype(np.float32) * 0.08)
+    q, s = quantize_weight_joint(w)
+    assert q.dtype == jnp.int8 and s.shape == (32,)
+    rec = np.asarray(q, np.float32) * np.asarray(s)[None, None, :] * 127.0
+    step = np.abs(np.asarray(w)).max(axis=(0, 1), keepdims=True) / 127.0
+    assert np.all(np.abs(rec - np.asarray(w)) <= 0.5 * step + 1e-7)
+
+
+@pytest.mark.parametrize("act_scale", ["row", "tile"])
+def test_q8_stack_act_scale_modes(rng, act_scale):
+    """Both activation-scale formulations stay within quantization tolerance
+    of the f32 tower and keep the padded-frame write-mask invariant."""
+    from fact_clip_tpu.ops.pallas.dilated_conv import dilated_residual_stack
+    from fact_clip_tpu.ops.pallas.quant_conv import dilated_residual_stack_q8
+
+    B, T, C = 2, 70, 32
+    dilations = [1, 2, 4, 8]
+    x = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[1, 50:] = False
+    mask = jnp.array(mask)
+    layers = [_rand_layer(rng, C) for _ in dilations]
+
+    f32 = np.asarray(dilated_residual_stack(
+        x, mask, layers, dilations, tile=32, interpret=True))
+    q8 = np.asarray(dilated_residual_stack_q8(
+        x, mask, layers, dilations, tile=32, interpret=True,
+        act_scale=act_scale))
+    rel = np.linalg.norm(q8 - f32) / np.linalg.norm(f32)
+    assert rel < 0.03, f"act_scale={act_scale}: relative error {rel:.4f}"
+    np.testing.assert_array_equal(q8[1, 50:], 0.0)
+
+
+@pytest.mark.parametrize("act_scale", ["row", "tile"])
+def test_q8_stack2_act_scale_modes(rng, act_scale):
+    from fact_clip_tpu.ops.pallas.dilated_conv import dilated_residual2_stack
+    from fact_clip_tpu.ops.pallas.quant_conv import dilated_residual2_stack_q8
+
+    B, T, C = 2, 70, 32
+    dpairs = [(8, 1), (4, 2), (2, 4), (1, 8)]
+    x = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[1, 50:] = False
+    mask = jnp.array(mask)
+    layers = [_rand_layer2(rng, C) for _ in dpairs]
+
+    f32 = np.asarray(dilated_residual2_stack(
+        x, mask, layers, dpairs, tile=32, interpret=True))
+    q8 = np.asarray(dilated_residual2_stack_q8(
+        x, mask, layers, dpairs, tile=32, interpret=True,
+        act_scale=act_scale))
+    rel = np.linalg.norm(q8 - f32) / np.linalg.norm(f32)
+    assert rel < 0.03, f"act_scale={act_scale}: relative error {rel:.4f}"
+    np.testing.assert_array_equal(q8[1, 50:], 0.0)
+
+
 def test_mstcn_q8_path_close_to_unfused(rng):
     """MSTCN with quantize='int8' (eval) tracks the unfused f32 module; the
     same module under deterministic=False takes the differentiable path."""
