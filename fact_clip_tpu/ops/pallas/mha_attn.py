@@ -56,6 +56,11 @@ from .dilated_conv import _keep_mask
 
 _NEG = -1e9
 
+# The default per-kernel scoped-VMEM limit on this toolchain is 16 MB —
+# the large-tile working sets (see _pick_tile / the x2y tile docstring)
+# need an explicit raise toward the v5e's 128 MB physical VMEM.
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
 
 def _mha_kernel(xlen_ref, seed_ref, x_ref, xpos_ref, q_ref, wk_ref, bk_ref,
                 wv_ref, bv_ref, out_ref, m_ref, l_ref, m_scr, l_scr, acc_scr, *,
@@ -165,6 +170,7 @@ def mha_dropout_mask(seed, shape, rate: float, tile: int = _DEFAULT_TILE, interp
     kernel = functools.partial(_mask_kernel, rate=rate, n_t=n_t)
     out = pl.pallas_call(
         kernel,
+        compiler_params=_VMEM_PARAMS,
         grid=(B, n_t),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((1, HM, tile), lambda b, t: (b, 0, t)),
@@ -244,6 +250,7 @@ def _mha_fwd_impl(q, x_in, x_pos_k, wk, bk, wv, bv, x_len, seed, *,
                                rate=rate, tile=tile, n_t=n_t)
     out = pl.pallas_call(
         kernel,
+        compiler_params=_VMEM_PARAMS,
         grid=(B, n_t),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -461,6 +468,7 @@ def _mha_bwd(num_heads, rate, tile, interpret, pos_grad, res, g):
         [jax.ShapeDtypeStruct((B, X_pad, Cx), x_in.dtype)] if pos_grad else [])
     outs = pl.pallas_call(
         kernel,
+        compiler_params=_VMEM_PARAMS,
         grid=(B, n_t),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

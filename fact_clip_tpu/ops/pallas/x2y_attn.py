@@ -37,6 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e9
 
+# The default per-kernel scoped-VMEM limit on this toolchain is 16 MB —
+# the large-tile working sets (see _pick_tile / the x2y tile docstring)
+# need an explicit raise toward the v5e's 128 MB physical VMEM.
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
 
 # ---------------------------------------------------------------------------
 # case A: small X (keys fit VMEM), tiled over Y
@@ -78,6 +83,7 @@ def _x2y_small_x_fwd_impl(y_in, y_pos, xk, xv, wq, bq, x_len, *, tile: int, inte
     kernel = functools.partial(_small_x_kernel, scale=1.0 / math.sqrt(d), tile=tile)
     attn, probs, logits = pl.pallas_call(
         kernel,
+        compiler_params=_VMEM_PARAMS,
         grid=(B, n_t),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -164,6 +170,7 @@ def _x2y_flash_fwd_impl(x, x_pos, yq, wk, bk, wv, bv, x_len, *, tile: int, inter
     kernel = functools.partial(_flash_kernel, scale=1.0 / math.sqrt(d), tile=tile, n_t=n_t)
     logits, attn = pl.pallas_call(
         kernel,
+        compiler_params=_VMEM_PARAMS,
         grid=(B, n_t),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -302,6 +309,7 @@ def _x2y_flash_bwd_impl(x, x_pos, yq, wk, bk, wv, bv, x_len, probs, g_attn,
         _flash_bwd_kernel, scale=1.0 / math.sqrt(d), tile=tile, n_t=n_t, n_b=B)
     dx, dxpos, dyq, dwk, dbk, dwv, dbv = pl.pallas_call(
         kernel,
+        compiler_params=_VMEM_PARAMS,
         grid=(n_t, B),  # b minor: d_xpos[t] accumulates over consecutive steps
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -434,6 +442,7 @@ def _x2y_small_x_bwd_impl(y_in, y_pos, xk, xv, wq, bq, x_len, probs,
         n_b=B, Y=Y)
     dy, dypos, dxk, dxv, dwq, dbq = pl.pallas_call(
         kernel,
+        compiler_params=_VMEM_PARAMS,
         grid=(n_t, B),  # b minor: d_ypos[t] accumulates over consecutive steps
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
