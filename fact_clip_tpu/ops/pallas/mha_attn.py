@@ -129,17 +129,16 @@ def _mask_kernel(seed_ref, o_ref, *, rate: float, n_t: int):
     o_ref[0, :, :] = _keep_mask(rate, o_ref.shape[1:])
 
 
-# Per-cell VMEM working-set budget for tile sizing.  v5e has 128 MB of
-# VMEM; 40 MB leaves room for double-buffered input blocks, weights and
-# scratch while letting the flagship shapes (X=3072, HM8=320, E=256) run
-# as a SINGLE key tile — the multi-tile online-softmax passes and their
-# per-grid-step overhead were measured at 3-4x the kernels' roofline at
-# tile=512 (round-4 trace attribution, BASELINE.md).
+# Per-cell VMEM working-set budget for tile sizing (v5e: 128 MB physical).
 _VMEM_BUDGET = 40 * 2**20
 
-# Default requested key tile: large enough that _pick_tile's budget (not
-# this number) decides, so flagship shapes run single-tile.
-_DEFAULT_TILE = 2048
+# Default key tile.  NEGATIVE RESULT (round 4, measured on v5e): raising
+# this to 1024/2048 so flagship shapes run as one or two key tiles made
+# the train step and f32 eval SLOWER (20.4 -> 20.5/21.6 ms train,
+# 5.4 -> 5.7/6.2 ms eval) — the multi-tile grid overlaps block DMA with
+# compute, and single-tile cells serialize a 6-12 MB load against the
+# whole cell's compute.  512 stays the default.
+_DEFAULT_TILE = 512
 
 
 def _pick_tile(tile: int, X: int, HM8: int, E: int, bwd: bool = False) -> int:

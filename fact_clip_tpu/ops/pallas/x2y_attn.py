@@ -686,7 +686,7 @@ _flash_vjp.defvjp(_flash_fwd, _flash_bwd)
 
 
 def x2y_attention(y_in, y_pos, x_in, x_pos_k, wk, bk, wv, bv, wq, bq, x_len, *,
-                  tile: int = 3072, interpret: bool = False):
+                  tile: int = 512, interpret: bool = False):
     """Fused X2Y attention: returns (attn_feat, probs, logits).
 
     y_in/y_pos: (B, Y, Cy) query stream and its positional add (zeros when
@@ -697,10 +697,9 @@ def x2y_attention(y_in, y_pos, x_in, x_pos_k, wk, bk, wv, bv, wq, bq, x_len, *,
     Picks the flash formulation when X is large, the one-pass small-X
     formulation otherwise.
 
-    tile=3072 default: the flagship bucket runs as a SINGLE X tile (the
-    per-cell working set is ~25 MB of the v5e's 128 MB VMEM) — at tile=512
-    the 6-tile online-softmax passes measured ~3.5x the kernel's roofline
-    (round-4 trace attribution); epic T=24,576 runs 8 tiles.
+    tile=512: larger tiles (1024-3072, i.e. one X tile for the flagship
+    bucket) were measured SLOWER on v5e (round 4; +6-15%% on the train
+    step / f32 eval) — multi-tile grids overlap block DMA with compute.
     """
     X = x_in.shape[1]
     args = (y_in, y_pos, x_in, x_pos_k, wk, bk, wv, bv, (wq, bq, x_len))

@@ -68,8 +68,8 @@ def _pred_agreement():
 
 def main():
     t0 = time.time()
-    fps_f32, step_f32 = bench.measure_ours()
-    fps_q8, step_q8 = bench.measure_ours(quantize="int8")
+    fps_f32, step_f32, samples_f32 = bench.measure_ours()
+    fps_q8, step_q8, samples_q8 = bench.measure_ours(quantize="int8")
     agree = _pred_agreement()
     print(json.dumps({
         "metric": "int8_inference_frames_per_sec_per_chip",
@@ -79,6 +79,7 @@ def main():
         "speedup_vs_f32": round(fps_q8 / fps_f32, 3),
         "step_ms_f32": round(step_f32 * 1e3, 2),
         "step_ms_int8": round(step_q8 * 1e3, 2),
+        "spread": {"f32": bench._spread(samples_f32), "int8": bench._spread(samples_q8)},
         "frame_pred_agreement": round(agree, 4),
         "wall_s": round(time.time() - t0, 1),
     }))
