@@ -159,11 +159,14 @@ def process_feature(feature: jnp.ndarray, nclass: int, dtype=None):
     (losses/decode/metrics consume them).
     """
     clogit = feature[..., -nclass:].astype(jnp.float32)
-    feat = feature[..., :-nclass]
     cprob = jax.nn.softmax(clogit, axis=-1)
-    out = jnp.concatenate([feat, cprob], axis=-1)
-    if dtype is not None:
-        out = out.astype(dtype)
+    out = feature if dtype is None else feature.astype(dtype)
+    # overwrite the logit tail in place (dynamic-update-slice) instead of
+    # concatenate([feat, cprob]): XLA lowers the concat to two full-stream
+    # pads + add, which fuse at B<=8 but MATERIALIZE at B>=16 (~100 MB of
+    # f32 pad writes per block boundary at B=32 — the round-2/4 "B>=16
+    # f32 residual").  The DUS writes only the nclass-wide tail.
+    out = out.at[..., -nclass:].set(cprob.astype(out.dtype))
     return out, clogit
 
 
