@@ -92,6 +92,18 @@ class CfgNode(dict):
     def merge_from_file(self, fname: str) -> None:
         with open(fname, "r") as fp:
             loaded = CfgNode.load_cfg(fp)
+        # `_BASE_: other.yaml` (resolved relative to this file) merges the
+        # base recipe first, then this file's overrides on top — used by
+        # the TPU overlay recipes (e.g. havid_tpu.yaml) to inherit a
+        # reference-parity recipe unchanged.  Net-new vs the reference's
+        # yacs surface; absent from its 28 recipe files.
+        base = dict.pop(loaded, "_BASE_", None)
+        if base is not None:
+            import os
+
+            self.merge_from_file(
+                os.path.join(os.path.dirname(os.path.abspath(fname)), base)
+            )
         self.merge_from_other_cfg(loaded)
 
     def merge_from_list(self, cfg_list: list) -> None:

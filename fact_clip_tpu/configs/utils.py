@@ -80,7 +80,6 @@ def diff2expname(diff: dict, remove_leaf: bool = False) -> str:
     return string[:-1]  # strip trailing dash
 
 
-_CONFIG_FILE_CACHE: dict = {}
 
 
 def generate_expname(cfg: CfgNode, cfg_file=None, default: CfgNode | None = None) -> str:
@@ -95,10 +94,9 @@ def generate_expname(cfg: CfgNode, cfg_file=None, default: CfgNode | None = None
         default = default.clone()
 
     for f in cfg_file:
-        if f not in _CONFIG_FILE_CACHE:
-            with open(f, "r") as fp:
-                _CONFIG_FILE_CACHE[f] = CfgNode.load_cfg(fp)
-        default.merge_from_other_cfg(_CONFIG_FILE_CACHE[f])
+        # merge_from_file (not a raw load_cfg) so `_BASE_:` overlay recipes
+        # resolve their base file here too
+        default.merge_from_file(f)
         stem = ".".join(os.path.basename(f).split(".")[:-1])
         expname.append(stem)
 

@@ -118,3 +118,33 @@ def test_load_cfg_from_string():
     node = CfgNode.load_cfg("a: 1\nb:\n  c: hello\n")
     assert node.a == 1
     assert node.b.c == "hello"
+
+
+def test_base_overlay_recipes(tmp_path):
+    """`_BASE_: other.yaml` merges the base recipe first, then the overlay
+    (used by the TPU production overlays, e.g. havid_tpu.yaml)."""
+    (tmp_path / "base.yaml").write_text("lr: 0.5\nFACT:\n  ntoken: 7\n")
+    (tmp_path / "overlay.yaml").write_text(
+        "_BASE_: base.yaml\nFACT:\n  ntoken: 9\nTPU:\n  compute_dtype: bfloat16\n"
+    )
+    from fact_clip_tpu.configs.utils import setup_cfg
+
+    cfg = setup_cfg([str(tmp_path / "overlay.yaml")])
+    assert cfg.lr == 0.5  # from the base
+    assert cfg.FACT.ntoken == 9  # overlay wins
+    assert cfg.TPU.compute_dtype == "bfloat16"
+    assert "overlay" in cfg.aux.exp
+
+
+def test_havid_tpu_overlay_inherits_flagship_recipe():
+    import os
+
+    from fact_clip_tpu.configs.utils import setup_cfg
+
+    root = os.path.join(os.path.dirname(__file__), "..", "fact_clip_tpu", "configs")
+    cfg = setup_cfg([os.path.join(root, "havid_tpu.yaml")])
+    base = setup_cfg([os.path.join(root, "havid.yaml")])
+    assert cfg.TPU.compute_dtype == "bfloat16" and cfg.TPU.matcher == "auction"
+    # the model/loss recipe is untouched
+    for key in ("FACT", "Bi", "Bu", "BU", "Loss", "TM"):
+        assert cfg[key] == base[key], key
