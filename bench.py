@@ -497,9 +497,11 @@ def _wait_for_tpu(max_wait_s: float = 1500.0, probe_timeout_s: float = 150.0):
         try:
             proc = subprocess.run(
                 [sys.executable, "-c",
+                 # float(...) fetches the result — on the axon relay only a
+                 # device->host read provably waits for execution
+                 # (block_until_ready returns before the execute completes)
                  "import jax, jax.numpy as jnp; "
-                 "jax.jit(lambda x: (x @ x).sum())(jnp.ones((128, 128)))"
-                 ".block_until_ready()"],
+                 "float(jax.jit(lambda x: (x @ x).sum())(jnp.ones((128, 128))))"],
                 timeout=probe_timeout_s, capture_output=True,
             )
             if proc.returncode == 0:
@@ -564,11 +566,15 @@ def _update_last_good(result):
     except (OSError, ValueError):
         pass
     if prev and not prev.get("stale"):
-        old, new = prev.get("value", 0.0), result["value"]
-        if new < 0.9 * old:
-            log(f"not refreshing BENCH_LAST_GOOD: median {new:.0f} f/s is "
-                f">10% below cached {old:.0f} f/s")
-            return
+        # every headline metric must be median-not-worse, not just the f32
+        # inference value — a noisy-low train sample must not overwrite a
+        # good cached train number either
+        for key in ("value", "train_frames_per_sec_per_chip"):
+            old, new = prev.get(key, 0.0), result.get(key, 0.0)
+            if old and new < 0.9 * old:
+                log(f"not refreshing BENCH_LAST_GOOD: {key} median {new:.0f} "
+                    f"is >10% below cached {old:.0f}")
+                return
     try:
         with open(LAST_GOOD, "w") as f:
             json.dump(result, f, indent=1)

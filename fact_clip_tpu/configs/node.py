@@ -89,7 +89,13 @@ class CfgNode(dict):
     def merge_from_other_cfg(self, other: "CfgNode") -> None:
         _merge_into(other, self, [])
 
-    def merge_from_file(self, fname: str) -> None:
+    def merge_from_file(self, fname: str, _seen: tuple = ()) -> None:
+        import os
+
+        real = os.path.abspath(fname)
+        if real in _seen:
+            chain = " -> ".join(list(_seen) + [real])
+            raise ValueError(f"Circular _BASE_ chain in config files: {chain}")
         with open(fname, "r") as fp:
             loaded = CfgNode.load_cfg(fp)
         # `_BASE_: other.yaml` (resolved relative to this file) merges the
@@ -99,11 +105,12 @@ class CfgNode(dict):
         # yacs surface; absent from its 28 recipe files.
         base = dict.pop(loaded, "_BASE_", None)
         if base is not None:
-            import os
-
-            self.merge_from_file(
-                os.path.join(os.path.dirname(os.path.abspath(fname)), base)
-            )
+            base_path = os.path.join(os.path.dirname(real), base)
+            if not os.path.exists(base_path):
+                raise FileNotFoundError(
+                    f"_BASE_ file {base!r} (referenced by {fname}) not found at {base_path}"
+                )
+            self.merge_from_file(base_path, _seen=_seen + (real,))
         self.merge_from_other_cfg(loaded)
 
     def merge_from_list(self, cfg_list: list) -> None:

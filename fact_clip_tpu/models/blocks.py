@@ -160,7 +160,12 @@ def process_feature(feature: jnp.ndarray, nclass: int, dtype=None):
     """
     clogit = feature[..., -nclass:].astype(jnp.float32)
     cprob = jax.nn.softmax(clogit, axis=-1)
-    out = feature if dtype is None else feature.astype(dtype)
+    # dtype=None keeps the pre-rewrite promotion semantics: the old
+    # concatenate([feat, cprob_f32]) promoted a bf16 stream to f32, so the
+    # action-token sites (which pass no dtype) must still see f32 under
+    # mixed precision
+    out_dtype = jnp.promote_types(feature.dtype, cprob.dtype) if dtype is None else dtype
+    out = feature.astype(out_dtype)
     # overwrite the logit tail in place (dynamic-update-slice) instead of
     # concatenate([feat, cprob]): XLA lowers the concat to two full-stream
     # pads + add, which fuse at B<=8 but MATERIALIZE at B>=16 (~100 MB of

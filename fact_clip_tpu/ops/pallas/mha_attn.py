@@ -129,8 +129,11 @@ def _mask_kernel(seed_ref, o_ref, *, rate: float, n_t: int):
     o_ref[0, :, :] = _keep_mask(rate, o_ref.shape[1:])
 
 
-# Per-cell VMEM working-set budget for tile sizing (v5e: 128 MB physical).
-_VMEM_BUDGET = 40 * 2**20
+# Per-cell VMEM working-set budget for tile sizing.  12 MB is the measured
+# sweet spot (the round-4 large-tile experiment showed bigger working sets
+# lose DMA/compute overlap); compile-time headroom for shapes near the
+# bound comes from the explicit vmem_limit raise below, not from this cap.
+_VMEM_BUDGET = 12 * 2**20
 
 # Default key tile.  NEGATIVE RESULT (round 4, measured on v5e): raising
 # this to 1024/2048 so flagship shapes run as one or two key tiles made

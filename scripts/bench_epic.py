@@ -122,23 +122,16 @@ def bench_train(model, cfg, vids, nids, n_act, feats, mask, lengths, rng):
     return ms, mem
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--train", action="store_true",
-                        help="benchmark the full train step instead of fwd+decode")
-    parser.add_argument("--batch", type=int, default=1)
-    parser.add_argument("--quantize", default="", choices=["", "int8"],
-                        help="TPU.quantize_infer for the fwd+decode benchmark")
-    args = parser.parse_args()
+def epic_recipe(train: bool):
+    """The epic-scale benchmark model recipe (configs/epic.yaml scale:
+    n1=98 verbs (+null), n2=301 nouns, 3,806 composed actions, block IUUU,
+    D=1024).  Shared with scripts/find_max_T.py so the BASELINE long-T
+    rows always describe the same model as this benchmark.
 
-    import jax
-    import jax.numpy as jnp
-
+    Returns (cfg, vids, nids, n1, n2, n_act, D).
+    """
     from fact_clip_tpu.configs.default import get_cfg_defaults
-    from fact_clip_tpu.engine.steps import make_step_fns
-    from fact_clip_tpu.models.verbnoun import build_verbnoun_fact
 
-    # epic config (configs/epic.yaml scale): n1=98 verbs (+null), n2=301 nouns
     n1, n2 = 98, 301
     rng = np.random.default_rng(0)
     n_act = 3806
@@ -169,10 +162,7 @@ def main():
     cfg.Bu.f_layers = 10
     cfg.BU.f_layers = 10
     cfg.TPU.pallas = True
-    cfg.TPU.quantize_infer = "" if args.train else args.quantize
-
-    B, T, D = args.batch, 24576, 1024
-    if args.train:
+    if train:
         # epic production recipe (epic-kitchens.yaml): o2m matching, Adam,
         # dropout, bf16 streams; exercises the fused backwards at long T
         cfg.Loss.match = "o2m"
@@ -184,6 +174,29 @@ def main():
         cfg.lr = 1e-4
         cfg.TPU.matcher = "auction"
         cfg.TPU.compute_dtype = "bfloat16"
+    return cfg, vids, nids, n1, n2, n_act, 1024
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--train", action="store_true",
+                        help="benchmark the full train step instead of fwd+decode")
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--quantize", default="", choices=["", "int8"],
+                        help="TPU.quantize_infer for the fwd+decode benchmark")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fact_clip_tpu.engine.steps import make_step_fns
+    from fact_clip_tpu.models.verbnoun import build_verbnoun_fact
+
+    cfg, vids, nids, n1, n2, n_act, D = epic_recipe(args.train)
+    cfg.TPU.quantize_infer = "" if args.train else args.quantize
+    rng = np.random.default_rng(0)
+
+    B, T = args.batch, 24576
     model = build_verbnoun_fact(cfg, D, vids, nids, s_pred_cap=256,
                                 n_classes1=n1, n_classes2=n2)
 

@@ -35,53 +35,16 @@ def build(T, mode):
     import jax
     import jax.numpy as jnp
 
-    from fact_clip_tpu.configs.default import get_cfg_defaults
     from fact_clip_tpu.engine.state import create_train_state
     from fact_clip_tpu.engine.steps import make_step_fns
     from fact_clip_tpu.models.verbnoun import build_verbnoun_fact
-    from bench_epic import _epic_train_labels
+    from bench_epic import _epic_train_labels, epic_recipe
 
-    n1, n2 = 98, 301
+    # the exact benchmark model (shared recipe): the long-T table rows must
+    # describe the same config as scripts/bench_epic.py's numbers
+    cfg, vids, nids, n1, n2, n_act, D = epic_recipe(mode == "train")
     rng = np.random.default_rng(0)
-    n_act = 3806
-    pairs = set()
-    while len(pairs) < n_act:
-        pairs.add((int(rng.integers(0, n1)), int(rng.integers(0, n2))))
-    pairs = sorted(pairs)
-    vids = np.array([p[0] for p in pairs], np.int32)
-    nids = np.array([p[1] for p in pairs], np.int32)
-
-    cfg = get_cfg_defaults()
-    cfg.dataset = "epic"
-    cfg.FACT.block = "IUUU"
-    cfg.FACT.ntoken = 100
-    cfg.FACT.fpos = False
-    cfg.FACT.cmr = 0.0
-    cfg.Bi.hid_dim = 512
-    cfg.Bi.a_dim = 256
-    cfg.Bi.a_ffdim = 512
-    cfg.Bi.a_layers = 2
-    cfg.Bi.a_nhead = 8
-    cfg.Bi.f = "m"
-    cfg.Bi.f_dim = 256
-    cfg.Bi.f_layers = 10
-    cfg.Bi.f_ln = False
-    cfg.Bi.f_ngp = 1
-    cfg.Bi.dropout = 0.0
-    cfg.Bu.f_layers = 10
-    cfg.BU.f_layers = 10
-    cfg.TPU.pallas = True
-    B, D = 1, 1024
-    if mode == "train":
-        cfg.Loss.match = "o2m"
-        cfg.Loss.sw = 1.0
-        cfg.Loss.pc = 0.2
-        cfg.Loss.nullw = 0.05
-        cfg.Bi.dropout = 0.1
-        cfg.optimizer = "Adam"
-        cfg.lr = 1e-4
-        cfg.TPU.matcher = "auction"
-        cfg.TPU.compute_dtype = "bfloat16"
+    B = 1
     model = build_verbnoun_fact(cfg, D, vids, nids, s_pred_cap=256,
                                 n_classes1=n1, n_classes2=n2)
 

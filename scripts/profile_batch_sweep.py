@@ -110,7 +110,11 @@ def _merge(path, results):
                 old = []
     key = lambda r: (r.get("block"), r.get("B"), r.get("D"), r.get("dtype"))
     merged = {key(r): r for r in old}
-    merged.update({key(r): r for r in results})
+    for r in results:
+        # a transient-failure record must not replace a measured row
+        if "error" in r and "error" not in merged.get(key(r), r):
+            continue
+        merged[key(r)] = r
     return list(merged.values())
 
 
