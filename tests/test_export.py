@@ -187,3 +187,34 @@ def test_tpu_artifact_cross_compiles_quantized(fixture_base, tmp_path):
     save_serving(path, exported, meta)
     serving = load_serving(path)
     assert serving.meta["platforms"] == ["tpu"]
+
+
+def test_bf16_serving_artifact_roundtrip(fixture_base, tmp_path):
+    """TPU.compute_dtype=bfloat16 — the production serving recommendation
+    (configs/havid_tpu.yaml, BASELINE dtype matrix: bf16 is 1.185x f32) —
+    bakes into the artifact and the CPU round-trip matches the live bf16
+    eval step exactly."""
+    cfg = smoke_cfg(fixture_base)
+    cfg.batch_size = 2
+    cfg.TPU.compute_dtype = "bfloat16"
+    exp2 = build_experiment(cfg)
+    L = exp2.buckets[0]
+
+    # TPU artifact: bf16 tensors present in the lowered fused module
+    exported, meta = export_serving(exp2, platforms=("tpu",), bucket_lengths=[L])
+    assert "compute_dtype: bfloat16" in meta["cfg"]
+    assert "xbf16>" in exported[L].mlir_module()
+
+    # CPU artifact executes here and matches the live bf16 eval step
+    exported, meta = export_serving(exp2, platforms=("cpu",), bucket_lengths=[L])
+    path = str(tmp_path / "bf16.factserve")
+    save_serving(path, exported, meta)
+    serving = load_serving(path)
+    eval_step = _direct_eval_step(exp2)
+    for batch in exp2.test_loader():
+        arrays = batch.device_arrays
+        if arrays["feats"].shape[1] != L:
+            continue
+        want = np.asarray(eval_step(exp2.params, arrays))
+        got = np.asarray(serving.call(L, arrays["feats"], arrays["mask"], arrays["lengths"]))
+        np.testing.assert_array_equal(want, got)
