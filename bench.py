@@ -208,7 +208,7 @@ def measure_ours_train():
     return fps, step_s, samples
 
 
-def measure_ours(quantize: str = ""):
+def measure_ours(quantize: str = "", dtype: str = ""):
     import functools
 
     import jax
@@ -222,10 +222,14 @@ def measure_ours(quantize: str = ""):
     cfg.FACT.ntoken = NTOKEN
     cfg.TPU.pallas = True
     cfg.TPU.quantize_infer = quantize  # "int8": quantized eval towers
+    if dtype:
+        cfg.TPU.compute_dtype = dtype  # "bfloat16": the production serving recipe
     model = build_fact(cfg, D, C, s_pred_cap=128)
 
     rng = np.random.default_rng(0)
     feats, mask, lengths = _bench_batch(rng)
+    if dtype == "bfloat16":
+        feats = feats.astype(jnp.bfloat16)
 
     params = jax.jit(
         lambda k: model.init({"params": k}, feats, mask, lengths, train=False)
@@ -612,8 +616,17 @@ def main():
         "train_step": _spread(train_samples),
         "infer_step": _spread(infer_samples),
     }
-    # int8-quantized inference (TPU.quantize_infer): guarded — a failure
-    # here must not cost the round its headline artifact
+    # bf16 inference — the production serving recipe (configs/havid_tpu.yaml;
+    # within-run matrix in BASELINE.md: 1.185x f32, int8 adds nothing on
+    # top).  Guarded — a failure must not cost the round its headline.
+    try:
+        fps_bf16, _, bf16_samples = measure_ours(dtype="bfloat16")
+        result["bf16_frames_per_sec_per_chip"] = round(fps_bf16, 1)
+        result["bf16_speedup_vs_f32"] = round(fps_bf16 / fps, 3)
+        spread["bf16_step"] = _spread(bf16_samples)
+    except Exception as e:  # noqa: BLE001
+        log(f"bf16 inference measurement failed (field omitted): {e!r}")
+    # int8-quantized inference (TPU.quantize_infer): guarded likewise
     try:
         fps_q8, _, q8_samples = measure_ours(quantize="int8")
         result["int8_frames_per_sec_per_chip"] = round(fps_q8, 1)
