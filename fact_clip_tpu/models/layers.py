@@ -106,21 +106,60 @@ class _Q8Dense(nn.Module):
         return y.astype(self.dtype) if self.dtype is not None else y
 
 
+class _F32OutDense(nn.Module):
+    """Dense with low-precision operands and float32 accumulation/output.
+
+    The MXU computes f32 matmuls at DEFAULT precision by rounding operands
+    to bf16 anyway, so feeding bf16 operands explicitly and asking for an
+    f32 result (``preferred_element_type``) preserves the accumulation
+    fidelity of the "f32" dense while halving its input traffic and
+    skipping the upcast pass — used for the tower out-projections whose
+    trailing dims are class logits (they must stay f32 for the losses).
+    Same param tree as nn.Dense (instantiated as ``Dense_0``).
+    """
+
+    features: int
+    dtype: Any
+    kernel_init: Any
+    bias_init: Any
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", self.kernel_init, (x.shape[-1], self.features))
+        b = self.param("bias", self.bias_init, (self.features,))
+        y = jax.lax.dot_general(
+            x.astype(self.dtype), k.astype(self.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return y + b.astype(jnp.float32)
+
+
 class TorchDense(nn.Module):
     """nn.Dense with torch nn.Linear default initialization.
 
     ``dtype`` is the computation dtype (params stay float32); None keeps
     full float32.  ``quantize="int8"`` evaluates through the int8 MXU dense
     (same param tree; callers gate it to deterministic/eval use).
+    ``out_f32`` (only meaningful with a low-precision ``dtype``): compute
+    with bf16 operands but return f32 (see _F32OutDense).
     """
 
     features: int
     dtype: Any = None
     quantize: str = ""
+    out_f32: bool = False
 
     @nn.compact
     def __call__(self, x):
         in_dim = x.shape[-1]
+        if self.out_f32 and self.dtype is not None and self.quantize != "int8":
+            return _F32OutDense(
+                self.features, dtype=self.dtype,
+                kernel_init=torch_linear_kernel_init,
+                bias_init=torch_linear_bias_init(in_dim),
+                name="Dense_0",
+            )(x)
         cls = _Q8Dense if self.quantize == "int8" else nn.Dense
         return cls(
             self.features,
@@ -339,8 +378,12 @@ class MSTCN(nn.Module):
         else:
             for layer in layers:
                 x = layer(x, mask, deterministic)
-        # output dense stays float32: its trailing dims are class logits
-        return TorchDense(self.out_dim)(x.astype(jnp.float32))
+        # output dense emits float32 (its trailing dims are class logits);
+        # under mixed precision it computes with bf16 operands + f32
+        # accumulation (_F32OutDense) — same MXU math as the f32 matmul at
+        # DEFAULT precision, half the input traffic
+        return TorchDense(self.out_dim, dtype=self.dtype, out_f32=True)(
+            x if self.dtype is not None else x.astype(jnp.float32))
 
 
 class MSTCN2(nn.Module):
@@ -423,7 +466,9 @@ class MSTCN2(nn.Module):
                 if i != L - 1:
                     f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
                 f = f + f_in
-        return TorchDense(self.out_dim)(f.astype(jnp.float32))
+        # f32 logits out; bf16 operands under mixed precision (see MSTCN)
+        return TorchDense(self.out_dim, dtype=self.dtype, out_f32=True)(
+            f if self.dtype is not None else f.astype(jnp.float32))
 
 
 # --------------------------------------------------------------------------
