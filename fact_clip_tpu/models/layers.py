@@ -116,6 +116,13 @@ class _F32OutDense(nn.Module):
     skipping the upcast pass — used for the tower out-projections whose
     trailing dims are class logits (they must stay f32 for the losses).
     Same param tree as nn.Dense (instantiated as ``Dense_0``).
+
+    The equivalence (bf16 operands + f32 accumulation == DEFAULT-precision
+    f32 dense) holds on TPU only; on CPU the old path ran a true f32
+    matmul, so under mixed precision CPU logits carry bf16 operand
+    rounding the TPU never adds.  The mixed-precision tolerance tests and
+    the bf16 serving round-trip cover this — a CPU-parity drift here is
+    expected rounding, not a kernel bug.
     """
 
     features: int
@@ -133,6 +140,25 @@ class _F32OutDense(nn.Module):
             preferred_element_type=jnp.float32,
         )
         return y + b.astype(jnp.float32)
+
+
+class TorchDenseParams(nn.Module):
+    """Parameter-tree twin of TorchDense (TorchDense_N/Dense_0/{kernel,bias}).
+
+    Used by the fused tower out-projection: the params are declared at the
+    identical path/init as the TorchDense the unfused branches call, so
+    checkpoints are interchangeable, but the matmul itself runs inside the
+    fused Pallas stack (ops/pallas/dilated_conv.py ``out_params``).
+    Instantiate with the explicit ``name`` the auto-counter would have
+    assigned (``TorchDense_1`` after an in_map dense, else ``TorchDense_0``).
+    """
+
+    features: int
+    in_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return _TorchDenseParams(self.features, self.in_dim, name="Dense_0")()
 
 
 class TorchDense(nn.Module):
@@ -369,11 +395,20 @@ class MSTCN(nn.Module):
                     seeds = tuple(bits[i] for i in range(L))
                 else:
                     seeds = None
-                x = dilated_residual_stack(
+                # the out projection (C -> out_dim; trailing dims are the
+                # frame logits) runs inside the stack's last kernel — the
+                # final stream never round-trips HBM (fwd or bwd).  Params
+                # declared at the TorchDense-compatible tree path.
+                ow, ob = TorchDenseParams(
+                    self.out_dim, self.hid_dim,
+                    name="TorchDense_1" if self.in_map else "TorchDense_0",
+                )()
+                return dilated_residual_stack(
                     _cast(x, self.dtype), mask,
                     [l.param_tuple() for l in layers],
                     [self.dilation_factor**i for i in range(L)],
                     use_ln=self.ln, rates=(rate,) * L, seeds=seeds,
+                    out_params=(_cast(ow, self.dtype), ob),
                 )
         else:
             for layer in layers:
@@ -452,7 +487,15 @@ class MSTCN2(nn.Module):
                     seeds = tuple(bits[i] for i in range(L))
                 else:
                     seeds = None
-                f = dilated_residual2_stack(f, mask, stacked, dil_pairs, rates=rates, seeds=seeds)
+                # out projection fused into the last layer (see MSTCN)
+                ow, ob = TorchDenseParams(
+                    self.out_dim, self.hid_dim,
+                    name="TorchDense_1" if self.in_map else "TorchDense_0",
+                )()
+                return dilated_residual2_stack(
+                    f, mask, stacked, dil_pairs, rates=rates, seeds=seeds,
+                    out_params=(_cast(ow, dt), ob),
+                )
         else:
             for i, ((k1, b1, k2, b2, wf, bf), (d1, d2)) in enumerate(zip(layer_params, dil_pairs)):
                 f_in = f

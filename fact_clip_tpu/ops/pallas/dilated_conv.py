@@ -232,9 +232,17 @@ _dr_vjp.defvjp(_fwd, _bwd)
 
 
 def _stack_kernel(seed_ref, len_ref, x_ref, wd_ref, bd_ref, w1_ref, b1_ref, g_ref, beta_ref,
-                  o_ref, *maybe_a_ref, dilation: int, halo: int, tile: int,
+                  *refs, dilation: int, halo: int, tile: int,
                   use_ln: bool, eps: float, rate: float, n_tiles: int,
-                  save_a: bool = False):
+                  save_a: bool = False, out_proj: bool = False):
+    # ref layout: [ow, ob] when out_proj, then the primary output (the
+    # stream, or the f32 logits when out_proj), then [a] when save_a
+    if out_proj:
+        ow_ref, ob_ref, o_ref = refs[0], refs[1], refs[2]
+        maybe_a_ref = refs[3:]
+    else:
+        o_ref = refs[0]
+        maybe_a_ref = refs[1:]
     d, hp = dilation, halo
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -285,13 +293,25 @@ def _stack_kernel(seed_ref, len_ref, x_ref, wd_ref, bd_ref, w1_ref, b1_ref, g_re
     # write-mask: padded frames stay zero in the inter-layer buffer (the
     # reference masks at the *input* of every layer — same computation)
     out = out * mask
-    o_ref[0, :, :] = out.astype(o_ref.dtype)
+    if out_proj:
+        # fold the tower's out projection (C -> O; its trailing dims are the
+        # frame class logits) into the final layer: the stream never round-
+        # trips HBM between the stack and the out matmul.  The stream cast
+        # mirrors what the unfused path reads back from the inter-layer
+        # buffer, so logits match the separate-dense path bit-for-bit; f32
+        # accumulation as in _F32OutDense (models/layers.py).
+        y_c = out.astype(x_ref.dtype)
+        lg = jnp.dot(y_c, ow_ref[:].astype(y_c.dtype),
+                     preferred_element_type=jnp.float32)
+        o_ref[0, :, :] = lg + ob_ref[:].astype(jnp.float32)
+    else:
+        o_ref[0, :, :] = out.astype(o_ref.dtype)
 
 
 def _stack_layer(x_ext, lengths, wd, bd, w1, b1, gamma, beta, seed, *,
                  dilation: int, halo_max: int, tile: int, n_tiles: int,
                  use_ln: bool, eps: float, rate: float, interpret: bool,
-                 save_a: bool = False):
+                 save_a: bool = False, out_params=None):
     """One layer on the extended buffer: (B, hm+T_pad+hm, C) -> same shape.
 
     The read window spans only this layer's own halo (tile + 2*align8(d)
@@ -302,40 +322,59 @@ def _stack_layer(x_ext, lengths, wd, bd, w1, b1, gamma, beta, seed, *,
 
     save_a=True additionally emits the relu activations (center rows of an
     extended-layout buffer) as backward residuals.
+
+    out_params=(ow, ob) (only on a stack's LAST layer) fuses the out
+    projection: the primary output becomes the f32 logits in a plain
+    (B, T_pad, O) buffer instead of the extended-layout stream.
     """
     B, T_ext, C = x_ext.shape
     halo_d = -(-dilation // 8) * 8
     off = halo_max - halo_d
     assert halo_max % tile == 0  # output blocks must be tile-aligned (Mosaic)
+    out_proj = out_params is not None
     kernel = functools.partial(
         _stack_kernel, dilation=dilation, halo=halo_d, tile=tile, use_ln=use_ln,
-        eps=eps, rate=rate, n_tiles=n_tiles, save_a=save_a,
+        eps=eps, rate=rate, n_tiles=n_tiles, save_a=save_a, out_proj=out_proj,
     )
     center_out = pl.BlockSpec((1, tile, C), lambda b, t: (b, t + halo_max // tile, 0))
     ext_shape = jax.ShapeDtypeStruct((B, T_ext, C), x_ext.dtype)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (pl.Element(1), pl.Element(tile + 2 * halo_d), pl.Element(C)),
+            # written as (..)*8 so Mosaic's alignment prover accepts the
+            # constant offset (t*tile + off alone fails on this version)
+            lambda b, t: (b, (t * (tile // 8) + off // 8) * 8, 0),
+        ),
+        pl.BlockSpec((3, C, C), lambda b, t: (0, 0, 0)),
+        pl.BlockSpec((C,), lambda b, t: (0,)),
+        pl.BlockSpec((C, C), lambda b, t: (0, 0)),
+        pl.BlockSpec((C,), lambda b, t: (0,)),
+        pl.BlockSpec((C,), lambda b, t: (0,)),
+        pl.BlockSpec((C,), lambda b, t: (0,)),
+    ]
+    args = [seed, lengths, x_ext, wd, bd, w1, b1, gamma, beta]
+    if out_proj:
+        ow, ob = out_params
+        O = ow.shape[-1]
+        T_pad = n_tiles * tile
+        in_specs += [pl.BlockSpec((C, O), lambda b, t: (0, 0)),
+                     pl.BlockSpec((O,), lambda b, t: (0,))]
+        args += [ow, ob]
+        primary_spec = pl.BlockSpec((1, tile, O), lambda b, t: (b, t, 0))
+        primary_shape = jax.ShapeDtypeStruct((B, T_pad, O), jnp.float32)
+    else:
+        primary_spec = center_out
+        primary_shape = ext_shape
     out = pl.pallas_call(
         kernel,
         grid=(B, n_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (pl.Element(1), pl.Element(tile + 2 * halo_d), pl.Element(C)),
-                # written as (..)*8 so Mosaic's alignment prover accepts the
-                # constant offset (t*tile + off alone fails on this version)
-                lambda b, t: (b, (t * (tile // 8) + off // 8) * 8, 0),
-            ),
-            pl.BlockSpec((3, C, C), lambda b, t: (0, 0, 0)),
-            pl.BlockSpec((C,), lambda b, t: (0,)),
-            pl.BlockSpec((C, C), lambda b, t: (0, 0)),
-            pl.BlockSpec((C,), lambda b, t: (0,)),
-            pl.BlockSpec((C,), lambda b, t: (0,)),
-            pl.BlockSpec((C,), lambda b, t: (0,)),
-        ],
-        out_specs=[center_out, center_out] if save_a else center_out,
-        out_shape=[ext_shape, ext_shape] if save_a else ext_shape,
+        in_specs=in_specs,
+        out_specs=[primary_spec, center_out] if save_a else primary_spec,
+        out_shape=[primary_shape, ext_shape] if save_a else primary_shape,
         interpret=interpret,
-    )(seed, lengths, x_ext, wd, bd, w1, b1, gamma, beta)
+    )(*args)
     return out  # (out_ext, a_ext) when save_a else out_ext
 
 
@@ -367,7 +406,8 @@ def _stack_reference(x, mask, layers, dilations, use_ln, eps, rates, seeds, tile
 
 def dilated_residual_stack(x, mask, layers, dilations, *, use_ln: bool = True,
                            eps: float = 1e-5, rates=None, seeds=None,
-                           tile: int = 512, interpret: bool = False):
+                           tile: int = 512, interpret: bool = False,
+                           out_params=None):
     """Fused MSTCN tower: N dilated-residual layers, one pad, one slice.
 
     x: (B, T, C); mask: (B, T) bool; layers: sequence of parameter tuples
@@ -376,6 +416,13 @@ def dilated_residual_stack(x, mask, layers, dilations, *, use_ln: bool = True,
 
     Returns (B, T, C) with padded frames zeroed (reference semantics: every
     layer masks its input, so outputs at padded frames are zero here).
+
+    out_params=(ow, ob) additionally fuses the tower's out projection
+    (C -> O dense; the reference's conv_out, basic.py:173-220) into the
+    last layer's kernel and returns f32 logits (B, T, O) instead of the
+    stream — the final stream then never round-trips HBM in forward OR
+    backward (its cotangent is formed in-VMEM from the logits cotangent).
+    Padded frames carry the bias row, exactly like dense(0-masked stream).
     """
     n = len(layers)
     if rates is None:
@@ -384,6 +431,10 @@ def dilated_residual_stack(x, mask, layers, dilations, *, use_ln: bool = True,
         seeds = (jnp.zeros((1,), jnp.int32),) * n
     rates = tuple(float(r) for r in rates)
     dilations = tuple(int(d) for d in dilations)
+    if out_params is not None:
+        return _stack_proj_vjp(x, mask, tuple(layers), tuple(out_params),
+                               tuple(seeds), dilations, use_ln, eps, rates,
+                               tile, interpret)
     return _stack_vjp(x, mask, tuple(layers), tuple(seeds), dilations, use_ln, eps,
                       rates, tile, interpret)
 
@@ -391,6 +442,13 @@ def dilated_residual_stack(x, mask, layers, dilations, *, use_ln: bool = True,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _stack_vjp(x, mask, layers, seeds, dilations, use_ln, eps, rates, tile, interpret):
     return _stack_forward(x, mask, layers, seeds, dilations, use_ln, eps, rates, tile, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _stack_proj_vjp(x, mask, layers, out_params, seeds, dilations, use_ln, eps,
+                    rates, tile, interpret):
+    return _stack_forward(x, mask, layers, seeds, dilations, use_ln, eps, rates,
+                          tile, interpret, out_params=out_params)
 
 
 def _stack_layout(T, dilations, tile):
@@ -404,7 +462,7 @@ def _stack_layout(T, dilations, tile):
 
 
 def _stack_forward(x, mask, layers, seeds, dilations, use_ln, eps, rates, tile,
-                   interpret, with_saves: bool = False):
+                   interpret, with_saves: bool = False, out_params=None):
     B, T, C = x.shape
     tile, n_tiles, T_pad, halo = _stack_layout(T, dilations, tile)
 
@@ -412,8 +470,10 @@ def _stack_forward(x, mask, layers, seeds, dilations, use_ln, eps, rates, tile,
     x_ext = jnp.pad(xm, ((0, 0), (halo, halo + (T_pad - T)), (0, 0)))  # the ONE pad
     lengths = mask.astype(jnp.int32).sum(axis=1)  # masks are prefix-contiguous
 
+    n = len(layers)
     streams, a_exts = [], []
-    for (wd, bd, w1, b1, gamma, beta), d, rate, seed in zip(layers, dilations, rates, seeds):
+    for i, ((wd, bd, w1, b1, gamma, beta), d, rate, seed) in enumerate(
+            zip(layers, dilations, rates, seeds)):
         if with_saves:
             streams.append(x_ext)
         x_ext = _stack_layer(
@@ -421,11 +481,15 @@ def _stack_forward(x, mask, layers, seeds, dilations, use_ln, eps, rates, tile,
             dilation=d, halo_max=halo, tile=tile, n_tiles=n_tiles,
             use_ln=use_ln, eps=eps, rate=rate, interpret=interpret,
             save_a=with_saves,
+            out_params=out_params if i == n - 1 else None,
         )
         if with_saves:
             x_ext, a_ext = x_ext
             a_exts.append(a_ext)
-    y = x_ext[:, halo : halo + T]  # the ONE slice
+    if out_params is not None:
+        y = x_ext[:, :T]  # logits live in a plain (B, T_pad, O) buffer
+    else:
+        y = x_ext[:, halo : halo + T]  # the ONE slice
     if with_saves:
         return y, tuple(streams), tuple(a_exts)
     return y
@@ -459,45 +523,84 @@ def _stack_fwd(x, mask, layers, seeds, dilations, use_ln, eps, rates, tile, inte
 
 
 def _stack_bwd_dc_kernel(seed_ref, len_ref, a_ref, x_ref, g_ref,
-                         w1_ref, b1_ref, gamma_ref, *out_refs,
+                         w1_ref, b1_ref, gamma_ref, *refs,
                          tile: int, use_ln: bool,
-                         eps: float, rate: float, n_tiles: int):
-    if use_ln:
-        dc_ref, dz_ref, dw1_ref, db1_ref, dbd_ref, dgamma_ref, dbeta_ref = out_refs
+                         eps: float, rate: float, n_tiles: int,
+                         out_proj: bool = False):
+    # out_proj: g_ref carries the LOGITS cotangent (tile, O); the stream
+    # cotangent dy = g @ ow^T is formed in-VMEM (never hits HBM), and the
+    # out-projection weight grads accumulate here.  The post-LN output y is
+    # recomputed bit-exactly from the saved residuals (a, x, regenerated
+    # dropout mask) — it was never written by the fused forward.
+    if out_proj:
+        ow_ref, beta_ref, out_refs = refs[0], refs[1], refs[2:]
     else:
-        dc_ref, dw1_ref, db1_ref, dbd_ref = out_refs
+        ow_ref, beta_ref, out_refs = None, None, refs
+    emit_dz = use_ln or out_proj
+    it = iter(out_refs)
+    dc_ref = next(it)
+    dz_ref = next(it) if emit_dz else None
+    dw1_ref, db1_ref, dbd_ref = next(it), next(it), next(it)
+    if use_ln:
+        dgamma_ref, dbeta_ref = next(it), next(it)
+    if out_proj:
+        dow_ref, dob_ref = next(it), next(it)
     b = pl.program_id(0)
     t = pl.program_id(1)
     row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
     valid = ((t * tile + row) < len_ref[b]).astype(jnp.float32)
 
     a_c = a_ref[0]  # relu activations saved by the forward (stream dtype)
-    g = g_ref[0].astype(jnp.float32) * valid
     if rate > 0.0:
         _seed_cell(seed_ref, n_tiles)
-        keep = _keep_mask(rate, g.shape)
+        keep = _keep_mask(rate, (tile, a_c.shape[-1]))
     else:
         keep = None
 
-    if use_ln:
+    if use_ln or out_proj:
         mid = x_ref[0]
         h = jnp.dot(a_c, w1_ref[:], preferred_element_type=jnp.float32)
         h = h + b1_ref[:].astype(jnp.float32)
         if keep is not None:
             h = h * keep
         z = h + mid.astype(jnp.float32)
+    if use_ln:
         mean = z.mean(axis=-1, keepdims=True)
         var = ((z - mean) ** 2).mean(axis=-1, keepdims=True)
         rstd = jax.lax.rsqrt(var + eps)
         xhat = (z - mean) * rstd
+
+    if out_proj:
+        # y exactly as the forward's lg input: LN output (or z), write-masked,
+        # cast to the stream dtype
+        if use_ln:
+            y = (xhat * gamma_ref[:].astype(jnp.float32)
+                 + beta_ref[:].astype(jnp.float32))
+        else:
+            y = z
+        y_c = (y * valid).astype(a_c.dtype)
+        glg = g_ref[0].astype(jnp.float32)
+        glg_c = glg.astype(a_c.dtype)
+        ow_c = ow_ref[:].astype(a_c.dtype)
+        dy = jax.lax.dot_general(glg_c, ow_c, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        g = dy * valid
+        dow_part = jax.lax.dot_general(y_c, glg_c, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+        dob_part = glg.sum(axis=0)[None, :]
+    else:
+        g = g_ref[0].astype(jnp.float32) * valid
+
+    if use_ln:
         gg = g * gamma_ref[:].astype(jnp.float32)
         dz = (gg - gg.mean(axis=-1, keepdims=True)
               - xhat * (gg * xhat).mean(axis=-1, keepdims=True)) * rstd
         dgamma_part = (g * xhat).sum(axis=0)[None, :]
         dbeta_part = g.sum(axis=0)[None, :]
-        dz_ref[0, :, :] = dz.astype(dz_ref.dtype)
     else:
         dz = g
+    if emit_dz:
+        dz_ref[0, :, :] = dz.astype(dz_ref.dtype)
 
     dh = dz * keep if keep is not None else dz
     dh_c = dh.astype(a_c.dtype)
@@ -521,6 +624,9 @@ def _stack_bwd_dc_kernel(seed_ref, len_ref, a_ref, x_ref, g_ref,
         if use_ln:
             dgamma_ref[:, :] = jnp.zeros_like(dgamma_ref)
             dbeta_ref[:, :] = jnp.zeros_like(dbeta_ref)
+        if out_proj:
+            dow_ref[:, :] = jnp.zeros_like(dow_ref)
+            dob_ref[:, :] = jnp.zeros_like(dob_ref)
 
     dw1_ref[:, :] += dw1_part
     db1_ref[:, :] += db1_part
@@ -528,6 +634,9 @@ def _stack_bwd_dc_kernel(seed_ref, len_ref, a_ref, x_ref, g_ref,
     if use_ln:
         dgamma_ref[:, :] += dgamma_part
         dbeta_ref[:, :] += dbeta_part
+    if out_proj:
+        dow_ref[:, :] += dow_part
+        dob_ref[:, :] += dob_part
 
 
 def _stack_bwd_dx_kernel(len_ref, x_ref, dc_ref, gsrc_ref, wd_ref,
@@ -579,10 +688,18 @@ def _stack_bwd_dx_kernel(len_ref, x_ref, dc_ref, gsrc_ref, wd_ref,
 
 def _stack_bwd_layer(x_ext, a_ext, g_ext, lengths, wd, w1, b1, gamma, seed, *,
                      dilation: int, halo_max: int, tile: int, n_tiles: int,
-                     use_ln: bool, eps: float, rate: float, interpret: bool):
+                     use_ln: bool, eps: float, rate: float, interpret: bool,
+                     out_w=None, beta=None):
     """One layer's backward on the extended layout.  Returns
-    (dx_ext, dwd, dbd, dw1, db1, dgamma, dbeta) with weight grads in f32."""
+    (dx_ext, dwd, dbd, dw1, db1, dgamma, dbeta[, dow, dob]) with weight
+    grads in f32.
+
+    out_w (a stack's LAST layer only): ``g_ext`` is then the logits
+    cotangent in a plain (B, T_pad, O) buffer; the kernel folds the out
+    projection backward in (dy formed in-VMEM, dow/dob accumulated) and
+    additionally returns them."""
     B, T_ext, C = x_ext.shape
+    out_proj = out_w is not None
     halo_d = -(-dilation // 8) * 8
     off = halo_max - halo_d
     win_spec = pl.BlockSpec(
@@ -599,30 +716,54 @@ def _stack_bwd_layer(x_ext, a_ext, g_ext, lengths, wd, w1, b1, gamma, seed, *,
 
     kernel_a = functools.partial(
         _stack_bwd_dc_kernel, tile=tile,
-        use_ln=use_ln, eps=eps, rate=rate, n_tiles=n_tiles,
+        use_ln=use_ln, eps=eps, rate=rate, n_tiles=n_tiles, out_proj=out_proj,
     )
     vec = jax.ShapeDtypeStruct((1, C), jnp.float32)
     mat = jax.ShapeDtypeStruct((C, C), jnp.float32)
-    out_shapes = ([ext(x_ext.dtype), ext(x_ext.dtype), mat, vec, vec, vec, vec]
-                  if use_ln else [ext(x_ext.dtype), mat, vec, vec])
-    out_specs = ([center_out, center_out, wspec(C, C), wspec(1, C), wspec(1, C),
-                  wspec(1, C), wspec(1, C)]
-                 if use_ln else [center_out, wspec(C, C), wspec(1, C), wspec(1, C)])
+    emit_dz = use_ln or out_proj
+    out_shapes = [ext(x_ext.dtype)]
+    out_specs = [center_out]
+    if emit_dz:
+        out_shapes.append(ext(x_ext.dtype))
+        out_specs.append(center_out)
+    out_shapes += [mat, vec, vec]
+    out_specs += [wspec(C, C), wspec(1, C), wspec(1, C)]
+    if use_ln:
+        out_shapes += [vec, vec]
+        out_specs += [wspec(1, C), wspec(1, C)]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        center_in, center_in, center_in,
+        wspec(C, C), wspec(C), wspec(C),
+    ]
+    args = [seed, lengths, a_ext, x_ext, g_ext, w1, b1, gamma]
+    if out_proj:
+        O = out_w.shape[-1]
+        # the logits cotangent lives in a plain (B, T_pad, O) buffer
+        in_specs[4] = pl.BlockSpec((1, tile, O), lambda b, t: (b, t, 0))
+        in_specs += [wspec(C, O), wspec(C)]
+        args += [out_w, beta]
+        out_shapes += [jax.ShapeDtypeStruct((C, O), jnp.float32),
+                       jax.ShapeDtypeStruct((1, O), jnp.float32)]
+        out_specs += [wspec(C, O), wspec(1, O)]
     outs = pl.pallas_call(
         kernel_a,
         grid=(B, n_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            center_in, center_in, center_in,
-            wspec(C, C), wspec(C), wspec(C),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(seed, lengths, a_ext, x_ext, g_ext, w1, b1, gamma)
+    )(*args)
+    dow = dob = None
+    if out_proj:
+        outs, (dow, dob) = outs[:-2], outs[-2:]
     if use_ln:
         dc_ext, dz_ext, dw1, db1, dbd, dgamma, dbeta = outs
+        gsrc = dz_ext
+    elif out_proj:
+        dc_ext, dz_ext, dw1, db1, dbd = outs
+        dgamma = dbeta = jnp.zeros((1, C), jnp.float32)
         gsrc = dz_ext
     else:
         dc_ext, dw1, db1, dbd = outs
@@ -644,6 +785,8 @@ def _stack_bwd_layer(x_ext, a_ext, g_ext, lengths, wd, w1, b1, gamma, seed, *,
         out_shape=[ext(x_ext.dtype), jax.ShapeDtypeStruct((3, C, C), jnp.float32)],
         interpret=interpret,
     )(lengths, x_ext, dc_ext, gsrc, wd)
+    if out_proj:
+        return dx_ext, dwd, dbd, dw1, db1, dgamma, dbeta, dow, dob
     return dx_ext, dwd, dbd, dw1, db1, dgamma, dbeta
 
 
@@ -673,6 +816,54 @@ def _stack_bwd(dilations, use_ln, eps, rates, tile, interpret, res, g):
 
 
 _stack_vjp.defvjp(_stack_fwd, _stack_bwd)
+
+
+def _stack_proj_fwd(x, mask, layers, out_params, seeds, dilations, use_ln, eps,
+                    rates, tile, interpret):
+    y, streams, a_exts = _stack_forward(
+        x, mask, layers, seeds, dilations, use_ln, eps, rates, tile, interpret,
+        with_saves=True, out_params=out_params,
+    )
+    return y, (x, mask, layers, out_params, seeds, streams, a_exts)
+
+
+def _stack_proj_bwd(dilations, use_ln, eps, rates, tile, interpret, res, g):
+    x, mask, layers, out_params, seeds, streams, a_exts = res
+    ow, ob = out_params
+    B, T, C = x.shape
+    tile, n_tiles, T_pad, halo = _stack_layout(T, dilations, tile)
+    lengths = mask.astype(jnp.int32).sum(axis=1)
+
+    # logits cotangent: plain (B, T_pad, O) buffer (stream-dtype, same
+    # cotangent precision policy as the unfused g_ext path)
+    g_ext = jnp.pad(g.astype(x.dtype), ((0, 0), (0, T_pad - T), (0, 0)))
+    n = len(layers)
+    dlayers = [None] * n
+    dow = dob = None
+    for i in reversed(range(n)):
+        wd, bd, w1, b1, gamma, beta = layers[i]
+        outs = _stack_bwd_layer(
+            streams[i], a_exts[i], g_ext, lengths, wd, w1, b1, gamma, seeds[i],
+            dilation=dilations[i], halo_max=halo, tile=tile, n_tiles=n_tiles,
+            use_ln=use_ln, eps=eps, rate=rates[i], interpret=interpret,
+            out_w=ow if i == n - 1 else None, beta=beta if i == n - 1 else None,
+        )
+        if i == n - 1:
+            g_ext, dwd, dbd, dw1, db1, dgamma, dbeta, dow, dob = outs
+        else:
+            g_ext, dwd, dbd, dw1, db1, dgamma, dbeta = outs
+        dlayers[i] = (dwd.astype(wd.dtype), dbd[0].astype(bd.dtype),
+                      dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
+                      dgamma[0].astype(gamma.dtype), dbeta[0].astype(beta.dtype))
+
+    dx = g_ext[:, halo : halo + T].astype(x.dtype)
+    dmask = np.zeros(mask.shape, jax.dtypes.float0)
+    dseeds = tuple(np.zeros(s.shape, jax.dtypes.float0) for s in seeds)
+    d_out = (dow.astype(ow.dtype), dob[0].astype(ob.dtype))
+    return dx, dmask, tuple(dlayers), d_out, dseeds
+
+
+_stack_proj_vjp.defvjp(_stack_proj_fwd, _stack_proj_bwd)
 
 
 @functools.partial(
@@ -737,8 +928,12 @@ def _forward(x, wd, bd, w1, b1, gamma, beta, seed, *, dilation: int,
 
 
 def _stack2_kernel(seed_ref, len_ref, x_ref, k1_ref, b1_ref, k2_ref, b2_ref,
-                   wt_ref, wb_ref, bf_ref, o_ref, *, d1: int, d2: int, halo: int,
-                   tile: int, rate: float, n_tiles: int):
+                   wt_ref, wb_ref, bf_ref, *refs, d1: int, d2: int, halo: int,
+                   tile: int, rate: float, n_tiles: int, out_proj: bool = False):
+    if out_proj:
+        ow_ref, ob_ref, o_ref = refs[0], refs[1], refs[2]
+    else:
+        o_ref = refs[0]
     hp = halo
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -767,42 +962,66 @@ def _stack2_kernel(seed_ref, len_ref, x_ref, k1_ref, b1_ref, k2_ref, b2_ref,
         _seed_cell(seed_ref, n_tiles)
         h = h * _keep_mask(rate, h.shape)
     out = (h + mid.astype(jnp.float32)) * mask
-    o_ref[0, :, :] = out.astype(o_ref.dtype)
+    if out_proj:
+        # fused out projection (see _stack_kernel): logits replace the
+        # stream as the last layer's output
+        y_c = out.astype(mid.dtype)
+        lg = jnp.dot(y_c, ow_ref[:].astype(y_c.dtype),
+                     preferred_element_type=jnp.float32)
+        o_ref[0, :, :] = lg + ob_ref[:].astype(jnp.float32)
+    else:
+        o_ref[0, :, :] = out.astype(o_ref.dtype)
 
 
 def _stack2_layer(x_ext, lengths, params, seed, *, d1: int, d2: int,
                   halo_max: int, tile: int, n_tiles: int, rate: float,
-                  interpret: bool):
+                  interpret: bool, out_params=None):
     k1, b1, k2, b2, wt, wb, bf = params
     B, T_ext, C = x_ext.shape
     halo_d = -(-max(d1, d2) // 8) * 8
     off = halo_max - halo_d
     assert halo_max % tile == 0
+    out_proj = out_params is not None
     kernel = functools.partial(
-        _stack2_kernel, d1=d1, d2=d2, halo=halo_d, tile=tile, rate=rate, n_tiles=n_tiles
+        _stack2_kernel, d1=d1, d2=d2, halo=halo_d, tile=tile, rate=rate,
+        n_tiles=n_tiles, out_proj=out_proj,
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (pl.Element(1), pl.Element(tile + 2 * halo_d), pl.Element(C)),
+            lambda b, t: (b, (t * (tile // 8) + off // 8) * 8, 0),
+        ),
+        pl.BlockSpec((3, C, C), lambda b, t: (0, 0, 0)),
+        pl.BlockSpec((C,), lambda b, t: (0,)),
+        pl.BlockSpec((3, C, C), lambda b, t: (0, 0, 0)),
+        pl.BlockSpec((C,), lambda b, t: (0,)),
+        pl.BlockSpec((C, C), lambda b, t: (0, 0)),
+        pl.BlockSpec((C, C), lambda b, t: (0, 0)),
+        pl.BlockSpec((C,), lambda b, t: (0,)),
+    ]
+    args = [seed, lengths, x_ext, k1, b1, k2, b2, wt, wb, bf]
+    if out_proj:
+        ow, ob = out_params
+        O = ow.shape[-1]
+        T_pad = n_tiles * tile
+        in_specs += [pl.BlockSpec((C, O), lambda b, t: (0, 0)),
+                     pl.BlockSpec((O,), lambda b, t: (0,))]
+        args += [ow, ob]
+        out_spec = pl.BlockSpec((1, tile, O), lambda b, t: (b, t, 0))
+        out_shape = jax.ShapeDtypeStruct((B, T_pad, O), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((1, tile, C), lambda b, t: (b, t + halo_max // tile, 0))
+        out_shape = jax.ShapeDtypeStruct((B, T_ext, C), x_ext.dtype)
     return pl.pallas_call(
         kernel,
         grid=(B, n_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (pl.Element(1), pl.Element(tile + 2 * halo_d), pl.Element(C)),
-                lambda b, t: (b, (t * (tile // 8) + off // 8) * 8, 0),
-            ),
-            pl.BlockSpec((3, C, C), lambda b, t: (0, 0, 0)),
-            pl.BlockSpec((C,), lambda b, t: (0,)),
-            pl.BlockSpec((3, C, C), lambda b, t: (0, 0, 0)),
-            pl.BlockSpec((C,), lambda b, t: (0,)),
-            pl.BlockSpec((C, C), lambda b, t: (0, 0)),
-            pl.BlockSpec((C, C), lambda b, t: (0, 0)),
-            pl.BlockSpec((C,), lambda b, t: (0,)),
-        ],
-        out_specs=pl.BlockSpec((1, tile, C), lambda b, t: (b, t + halo_max // tile, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, T_ext, C), x_ext.dtype),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
-    )(seed, lengths, x_ext, k1, b1, k2, b2, wt, wb, bf)
+    )(*args)
 
 
 def _stack2_reference(x, mask, layers, dil_pairs, rates, seeds, tile, interpret):
@@ -831,9 +1050,13 @@ def _stack2_reference(x, mask, layers, dil_pairs, rates, seeds, tile, interpret)
 
 
 def dilated_residual2_stack(x, mask, layers, dil_pairs, *, rates=None, seeds=None,
-                            tile: int = 512, interpret: bool = False):
+                            tile: int = 512, interpret: bool = False,
+                            out_params=None):
     """Fused MS-TCN++ tower.  layers: (k1, b1, k2, b2, wf_top, wf_bot, bf)
-    per layer (wf split along its 2C input rows); dil_pairs: (d1, d2)."""
+    per layer (wf split along its 2C input rows); dil_pairs: (d1, d2).
+
+    out_params=(ow, ob): fuse the out projection into the last layer and
+    return f32 logits (B, T, O) — see dilated_residual_stack."""
     n = len(layers)
     if rates is None:
         rates = (0.0,) * n
@@ -841,6 +1064,9 @@ def dilated_residual2_stack(x, mask, layers, dil_pairs, *, rates=None, seeds=Non
         seeds = (jnp.zeros((1,), jnp.int32),) * n
     rates = tuple(float(r) for r in rates)
     dil_pairs = tuple((int(a), int(b)) for a, b in dil_pairs)
+    if out_params is not None:
+        return _stack2_proj_vjp(x, mask, tuple(layers), tuple(out_params),
+                                tuple(seeds), dil_pairs, rates, tile, interpret)
     return _stack2_vjp(x, mask, tuple(layers), tuple(seeds), dil_pairs, rates, tile, interpret)
 
 
@@ -849,7 +1075,15 @@ def _stack2_vjp(x, mask, layers, seeds, dil_pairs, rates, tile, interpret):
     return _stack2_forward(x, mask, layers, seeds, dil_pairs, rates, tile, interpret)
 
 
-def _stack2_forward(x, mask, layers, seeds, dil_pairs, rates, tile, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _stack2_proj_vjp(x, mask, layers, out_params, seeds, dil_pairs, rates, tile,
+                     interpret):
+    return _stack2_forward(x, mask, layers, seeds, dil_pairs, rates, tile,
+                           interpret, out_params=out_params)
+
+
+def _stack2_forward(x, mask, layers, seeds, dil_pairs, rates, tile, interpret,
+                    out_params=None):
     B, T, C = x.shape
     _, tile, n_tiles = _tiling(T, tile, 1)
     T_pad = n_tiles * tile
@@ -860,11 +1094,16 @@ def _stack2_forward(x, mask, layers, seeds, dil_pairs, rates, tile, interpret):
     x_ext = jnp.pad(xm, ((0, 0), (halo, halo + (T_pad - T)), (0, 0)))
     lengths = mask.astype(jnp.int32).sum(axis=1)
 
-    for params, (d1, d2), rate, seed in zip(layers, dil_pairs, rates, seeds):
+    n = len(layers)
+    for i, (params, (d1, d2), rate, seed) in enumerate(
+            zip(layers, dil_pairs, rates, seeds)):
         x_ext = _stack2_layer(
             x_ext, lengths, params, seed, d1=d1, d2=d2, halo_max=halo,
             tile=tile, n_tiles=n_tiles, rate=rate, interpret=interpret,
+            out_params=out_params if i == n - 1 else None,
         )
+    if out_params is not None:
+        return x_ext[:, :T]
     return x_ext[:, halo : halo + T]
 
 
@@ -878,9 +1117,20 @@ def _stack2_fwd(x, mask, layers, seeds, dil_pairs, rates, tile, interpret):
 
 def _stack2_bwd_dc_kernel(seed_ref, len_ref, x_ref, g_ref, k1_ref, b1_ref,
                           k2_ref, b2_ref, wt_ref, wb_ref, bf_ref,
-                          dc1_ref, dc2_ref, dwt_ref, dwb_ref, dbf_ref,
-                          db1_ref, db2_ref, *, d1: int, d2: int, halo: int,
-                          tile: int, rate: float, n_tiles: int):
+                          *refs, d1: int, d2: int, halo: int,
+                          tile: int, rate: float, n_tiles: int,
+                          out_proj: bool = False):
+    # out_proj (a stack's LAST layer): g_ref is the logits cotangent
+    # (tile, O); the stream cotangent dy = g @ ow^T is formed in-VMEM from
+    # the layer output y recomputed here (the forward never wrote it), the
+    # out-projection grads accumulate, and dz is emitted for kernel B.
+    if out_proj:
+        ow_ref = refs[0]
+        (dc1_ref, dc2_ref, dz_ref, dwt_ref, dwb_ref, dbf_ref,
+         db1_ref, db2_ref, dow_ref, dob_ref) = refs[1:]
+    else:
+        (dc1_ref, dc2_ref, dwt_ref, dwb_ref, dbf_ref,
+         db1_ref, db2_ref) = refs
     hp = halo
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -908,10 +1158,33 @@ def _stack2_bwd_dc_kernel(seed_ref, len_ref, x_ref, g_ref, k1_ref, b1_ref,
     s += jnp.dot(c2_c, wb_ref[:], preferred_element_type=jnp.float32)
     s += bf_ref[:].astype(jnp.float32)
 
-    g = g_ref[0].astype(jnp.float32) * valid
     if rate > 0.0:
         _seed_cell(seed_ref, n_tiles)
-        g = g * _keep_mask(rate, g.shape)  # dropout bwd (mask regen)
+        keep = _keep_mask(rate, s.shape)
+    else:
+        keep = None
+    if out_proj:
+        # recompute y = (dropout(relu(s)) + mid) * valid, exactly the fused
+        # forward's lg input
+        h = jax.nn.relu(s)
+        if keep is not None:
+            h = h * keep
+        y = (h + mid.astype(jnp.float32)) * valid
+        y_c = y.astype(mid.dtype)
+        glg = g_ref[0].astype(jnp.float32)
+        glg_c = glg.astype(mid.dtype)
+        ow_c = ow_ref[:].astype(mid.dtype)
+        dy = jax.lax.dot_general(glg_c, ow_c, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        g = dy * valid
+        dow_part = jax.lax.dot_general(y_c, glg_c, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+        dob_part = glg.sum(axis=0)[None, :]
+        dz_ref[0, :, :] = g.astype(dz_ref.dtype)
+    else:
+        g = g_ref[0].astype(jnp.float32) * valid
+    if keep is not None:
+        g = g * keep  # dropout bwd (mask regen)
     ds = g * (s > 0)
     ds_c = ds.astype(mid.dtype)
 
@@ -932,12 +1205,18 @@ def _stack2_bwd_dc_kernel(seed_ref, len_ref, x_ref, g_ref, k1_ref, b1_ref,
         dbf_ref[:, :] = jnp.zeros_like(dbf_ref)
         db1_ref[:, :] = jnp.zeros_like(db1_ref)
         db2_ref[:, :] = jnp.zeros_like(db2_ref)
+        if out_proj:
+            dow_ref[:, :] = jnp.zeros_like(dow_ref)
+            dob_ref[:, :] = jnp.zeros_like(dob_ref)
 
     dwt_ref[:, :] += dwt_part
     dwb_ref[:, :] += dwb_part
     dbf_ref[:, :] += ds.sum(axis=0)[None, :]
     db1_ref[:, :] += dc1.sum(axis=0)[None, :]
     db2_ref[:, :] += dc2.sum(axis=0)[None, :]
+    if out_proj:
+        dow_ref[:, :] += dow_part
+        dob_ref[:, :] += dob_part
 
 
 def _stack2_bwd_dx_kernel(len_ref, x_ref, dc1_ref, dc2_ref, g_ref, k1_ref,
@@ -988,9 +1267,10 @@ def _stack2_bwd_dx_kernel(len_ref, x_ref, dc1_ref, dc2_ref, g_ref, k1_ref,
 
 def _stack2_bwd_layer(x_ext, g_ext, lengths, params, seed, *, d1: int, d2: int,
                       halo_max: int, tile: int, n_tiles: int, rate: float,
-                      interpret: bool):
+                      interpret: bool, out_w=None):
     k1, b1, k2, b2, wt, wb, bf = params
     B, T_ext, C = x_ext.shape
+    out_proj = out_w is not None
     halo_d = -(-max(d1, d2) // 8) * 8
     off = halo_max - halo_d
     win_spec = pl.BlockSpec(
@@ -1009,23 +1289,46 @@ def _stack2_bwd_layer(x_ext, g_ext, lengths, params, seed, *, d1: int, d2: int,
 
     kernel_a = functools.partial(
         _stack2_bwd_dc_kernel, d1=d1, d2=d2, halo=halo_d, tile=tile,
-        rate=rate, n_tiles=n_tiles,
+        rate=rate, n_tiles=n_tiles, out_proj=out_proj,
     )
-    dc1_ext, dc2_ext, dwt, dwb, dbf, db1, db2 = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        win_spec, center_in,
+        wspec(3, C, C), wspec(C), wspec(3, C, C), wspec(C),
+        wspec(C, C), wspec(C, C), wspec(C),
+    ]
+    args = [seed, lengths, x_ext, g_ext, k1, b1, k2, b2, wt, wb, bf]
+    out_specs = [center_out, center_out]
+    out_shapes = [ext(), ext()]
+    if out_proj:
+        O = out_w.shape[-1]
+        in_specs[3] = pl.BlockSpec((1, tile, O), lambda b, t: (b, t, 0))
+        in_specs.append(wspec(C, O))
+        args.append(out_w)
+        out_specs.append(center_out)  # dz (C-wide, extended layout)
+        out_shapes.append(ext())
+    out_specs += [wspec(C, C), wspec(C, C), wspec(1, C), wspec(1, C), wspec(1, C)]
+    out_shapes += [mat, mat, vec, vec, vec]
+    if out_proj:
+        out_specs += [wspec(C, O), wspec(1, O)]
+        out_shapes += [jax.ShapeDtypeStruct((C, O), jnp.float32),
+                       jax.ShapeDtypeStruct((1, O), jnp.float32)]
+    outs = pl.pallas_call(
         kernel_a,
         grid=(B, n_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            win_spec, center_in,
-            wspec(3, C, C), wspec(C), wspec(3, C, C), wspec(C),
-            wspec(C, C), wspec(C, C), wspec(C),
-        ],
-        out_specs=[center_out, center_out, wspec(C, C), wspec(C, C),
-                   wspec(1, C), wspec(1, C), wspec(1, C)],
-        out_shape=[ext(), ext(), mat, mat, vec, vec, vec],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
         interpret=interpret,
-    )(seed, lengths, x_ext, g_ext, k1, b1, k2, b2, wt, wb, bf)
+    )(*args)
+    dow = dob = None
+    if out_proj:
+        dc1_ext, dc2_ext, dz_ext, dwt, dwb, dbf, db1, db2, dow, dob = outs
+        gsrc = dz_ext
+    else:
+        dc1_ext, dc2_ext, dwt, dwb, dbf, db1, db2 = outs
+        gsrc = g_ext
 
     kernel_b = functools.partial(
         _stack2_bwd_dx_kernel, d1=d1, d2=d2, halo=halo_d, tile=tile,
@@ -1043,7 +1346,9 @@ def _stack2_bwd_layer(x_ext, g_ext, lengths, params, seed, *, d1: int, d2: int,
         out_specs=[center_out, wspec(3, C, C), wspec(3, C, C)],
         out_shape=[ext(), tap, tap],
         interpret=interpret,
-    )(lengths, x_ext, dc1_ext, dc2_ext, g_ext, k1, k2)
+    )(lengths, x_ext, dc1_ext, dc2_ext, gsrc, k1, k2)
+    if out_proj:
+        return dx_ext, dk1, db1, dk2, db2, dwt, dwb, dbf, dow, dob
     return dx_ext, dk1, db1, dk2, db2, dwt, dwb, dbf
 
 
@@ -1088,3 +1393,64 @@ def _stack2_bwd(dil_pairs, rates, tile, interpret, res, g):
 
 
 _stack2_vjp.defvjp(_stack2_fwd, _stack2_bwd)
+
+
+def _stack2_proj_fwd(x, mask, layers, out_params, seeds, dil_pairs, rates, tile,
+                     interpret):
+    y = _stack2_forward(x, mask, layers, seeds, dil_pairs, rates, tile,
+                        interpret, out_params=out_params)
+    return y, (x, mask, layers, out_params, seeds)
+
+
+def _stack2_proj_bwd(dil_pairs, rates, tile, interpret, res, g):
+    x, mask, layers, out_params, seeds = res
+    ow, ob = out_params
+    B, T, C = x.shape
+    _, tile, n_tiles = _tiling(T, tile, 1)
+    T_pad = n_tiles * tile
+    halo_req = -(-max(max(p) for p in dil_pairs) // 8) * 8
+    halo = -(-halo_req // tile) * tile
+
+    xm = x * mask[:, :, None].astype(x.dtype)
+    x_ext = jnp.pad(xm, ((0, 0), (halo, halo + (T_pad - T)), (0, 0)))
+    lengths = mask.astype(jnp.int32).sum(axis=1)
+    # replay the stack (plain, no projection) to rebuild the layer-input
+    # streams; the last layer's own replay is dead and DCE'd
+    streams = []
+    for params, (d1, d2), rate, seed in zip(layers, dil_pairs, rates, seeds):
+        streams.append(x_ext)
+        x_ext = _stack2_layer(
+            x_ext, lengths, params, seed, d1=d1, d2=d2, halo_max=halo,
+            tile=tile, n_tiles=n_tiles, rate=rate, interpret=interpret,
+        )
+
+    # logits cotangent: plain (B, T_pad, O) buffer
+    g_ext = jnp.pad(g.astype(x.dtype), ((0, 0), (0, T_pad - T), (0, 0)))
+    n = len(layers)
+    dlayers = [None] * n
+    dow = dob = None
+    for i in reversed(range(n)):
+        k1, b1, k2, b2, wt, wb, bf = layers[i]
+        d1, d2 = dil_pairs[i]
+        outs = _stack2_bwd_layer(
+            streams[i], g_ext, lengths, layers[i], seeds[i], d1=d1, d2=d2,
+            halo_max=halo, tile=tile, n_tiles=n_tiles, rate=rates[i],
+            interpret=interpret, out_w=ow if i == n - 1 else None,
+        )
+        if i == n - 1:
+            g_ext, dk1, db1, dk2, db2, dwt, dwb, dbf, dow, dob = outs
+        else:
+            g_ext, dk1, db1, dk2, db2, dwt, dwb, dbf = outs
+        dlayers[i] = (dk1.astype(k1.dtype), db1[0].astype(b1.dtype),
+                      dk2.astype(k2.dtype), db2[0].astype(b2.dtype),
+                      dwt.astype(wt.dtype), dwb.astype(wb.dtype),
+                      dbf[0].astype(bf.dtype))
+
+    dx = g_ext[:, halo : halo + T].astype(x.dtype)
+    dmask = np.zeros(mask.shape, jax.dtypes.float0)
+    dseeds = tuple(np.zeros(s.shape, jax.dtypes.float0) for s in seeds)
+    d_out = (dow.astype(ow.dtype), dob[0].astype(ob.dtype))
+    return dx, dmask, tuple(dlayers), d_out, dseeds
+
+
+_stack2_proj_vjp.defvjp(_stack2_proj_fwd, _stack2_proj_bwd)

@@ -179,6 +179,84 @@ def test_stack_grads_match_reference(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
 
 
+@pytest.mark.parametrize("use_ln", [True, False])
+def test_stack_fused_out_projection(rng, use_ln):
+    """out_params folds the out dense into the last kernel: forward equals
+    stack-then-dense exactly; all grads (incl. dow/dob) match the unfused
+    composition; padded frames carry the bias row."""
+    from fact_clip_tpu.ops.pallas.dilated_conv import dilated_residual_stack
+
+    B, T, C, O = 2, 70, 32, 48
+    dilations = [1, 2, 4]
+    x = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[1, 50:] = False
+    mask = jnp.array(mask)
+    layers = tuple(_rand_layer(rng, C) for _ in dilations)
+    ow = jnp.array(rng.normal(size=(C, O)).astype(np.float32) * 0.1)
+    ob = jnp.array(rng.normal(size=(O,)).astype(np.float32) * 0.1)
+    ct = jnp.array(rng.normal(size=(B, T, O)).astype(np.float32))
+
+    def unfused(x, layers, ow, ob):
+        y = dilated_residual_stack(x, mask, layers, dilations, use_ln=use_ln,
+                                   tile=32, interpret=True)
+        return y @ ow + ob
+
+    def fused(x, layers, ow, ob):
+        return dilated_residual_stack(x, mask, layers, dilations, use_ln=use_ln,
+                                      tile=32, interpret=True,
+                                      out_params=(ow, ob))
+
+    a = unfused(x, layers, ow, ob)
+    b = fused(x, layers, ow, ob)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # padded frames: dense(0-masked stream) == bias row
+    np.testing.assert_allclose(np.asarray(b)[1, 60], np.asarray(ob), atol=1e-6)
+
+    ga = jax.grad(lambda *a_: (unfused(*a_) * ct).sum(), argnums=(0, 1, 2, 3))(
+        x, layers, ow, ob)
+    gb = jax.grad(lambda *a_: (fused(*a_) * ct).sum(), argnums=(0, 1, 2, 3))(
+        x, layers, ow, ob)
+    for p, q in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q), atol=5e-4)
+
+
+def test_stack2_fused_out_projection(rng):
+    from fact_clip_tpu.ops.pallas.dilated_conv import dilated_residual2_stack
+
+    B, T, C, O = 2, 64, 32, 40
+    dil_pairs = [(4, 1), (2, 2), (1, 4)]
+    x = jnp.array(rng.normal(size=(B, T, C)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[0, 44:] = False
+    mask = jnp.array(mask)
+    layers = tuple(_rand_layer2(rng, C) for _ in dil_pairs)
+    ow = jnp.array(rng.normal(size=(C, O)).astype(np.float32) * 0.1)
+    ob = jnp.array(rng.normal(size=(O,)).astype(np.float32) * 0.1)
+    ct = jnp.array(rng.normal(size=(B, T, O)).astype(np.float32))
+
+    def unfused(x, layers, ow, ob):
+        y = dilated_residual2_stack(x, mask, layers, dil_pairs, tile=32,
+                                    interpret=True)
+        return y @ ow + ob
+
+    def fused(x, layers, ow, ob):
+        return dilated_residual2_stack(x, mask, layers, dil_pairs, tile=32,
+                                       interpret=True, out_params=(ow, ob))
+
+    a = unfused(x, layers, ow, ob)
+    b = fused(x, layers, ow, ob)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(b)[0, 50], np.asarray(ob), atol=1e-6)
+
+    ga = jax.grad(lambda *a_: (unfused(*a_) * ct).sum(), argnums=(0, 1, 2, 3))(
+        x, layers, ow, ob)
+    gb = jax.grad(lambda *a_: (fused(*a_) * ct).sum(), argnums=(0, 1, 2, 3))(
+        x, layers, ow, ob)
+    for p, q in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q), atol=5e-4)
+
+
 def test_mstcn_stack_path_matches_unfused(rng):
     """MSTCN with use_pallas (stack, interpret unavailable -> force interpret
     via monkeypatched flag) equals the unfused module path on valid frames."""
