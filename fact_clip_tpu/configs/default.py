@@ -175,6 +175,11 @@ TPU.data_axis = "data"  # mesh axis name for data parallelism
 TPU.seq_axis = "seq"  # mesh axis name for sequence (time) sharding
 TPU.num_data_shards = -1  # -1 -> all visible devices on the data axis
 TPU.num_seq_shards = 1  # time-axis shards for very long videos
+# eval/decode seq sharding engages only for batches with padded T >= this
+# (short buckets stay single-device: halo exchanges + collective softmax
+# cost more than they save at small T).  0 -> shard every eval batch when
+# num_seq_shards > 1.  parallel/mesh.py::make_eval_placer.
+TPU.eval_seq_min_T = 0
 # >1: outermost DCN data-parallel axis for multi-slice pods — batch shards
 # over slice x data, gradient all-reduce lowers hierarchically (ICI
 # reduce-scatter within a slice, small cross-slice DCN exchange); seq

@@ -129,3 +129,37 @@ def replicate_tree(mesh: Mesh, tree):
     """Replicate a pytree (params / optimizer state) across the mesh."""
     sh = replicated(mesh)
     return jax.device_put(tree, sh)
+
+
+def make_eval_placer(cfg, params):
+    """Length-selective sequence sharding for the eval/decode path.
+
+    Returns ``(place, params)``.  With ``cfg.TPU.num_seq_shards > 1`` (and
+    enough devices), params are replicated over a ``1 x n_seq`` mesh and
+    ``place(arrays)`` shards a batch's time axis over ``seq`` — but only for
+    batches whose padded length reaches ``cfg.TPU.eval_seq_min_T``: short
+    buckets stay unsharded (replicated inputs on the same mesh), because at
+    small T the per-layer halo exchanges and the collective softmax cost
+    more than they save.  Beyond the single-chip max (245,760 frames
+    inference on v5e, BASELINE.md max-T table) sharding is the only way to
+    fit at all, so set ``num_seq_shards`` high enough that
+    T / n_seq stays under that per-device bound.
+
+    Decode equality under this sharding (TDU, two-branch argmax voting,
+    transcript-restricted decode) is pinned by
+    tests/test_parallel.py::test_eval_decode_seq_sharded_matches_dense.
+    """
+    n_seq = max(1, int(cfg.TPU.num_seq_shards))
+    if n_seq <= 1 or jax.device_count() < n_seq:
+        return (lambda arrays: arrays), params
+    mesh = make_mesh(n_data=1, n_seq=n_seq)
+    params = replicate_tree(mesh, params)
+    min_t = int(getattr(cfg.TPU, "eval_seq_min_T", 0))
+
+    def place(arrays: dict) -> dict:
+        if arrays["feats"].shape[1] < min_t:
+            # short bucket: replicated on the mesh (single-device math)
+            return {k: jax.device_put(v, replicated(mesh)) for k, v in arrays.items()}
+        return shard_batch_2d(mesh, arrays)
+
+    return place, params

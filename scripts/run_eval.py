@@ -27,6 +27,11 @@ def evaluate(exp, eval_step, params, savedir):
     cfg = exp.cfg
     test_ds = exp.test_dataset
     print("TESTING" + "~" * 10)
+    # sequence sharding for videos beyond the single-chip max-T (engaged
+    # per-batch by length; parallel/mesh.py::make_eval_placer)
+    from fact_clip_tpu.parallel.mesh import make_eval_placer
+
+    place, params = make_eval_placer(cfg, params)
     ckpt = Checkpoint(
         -1,
         bg_class=([] if cfg.eval_bg else test_ds.bg_class),
@@ -34,7 +39,7 @@ def evaluate(exp, eval_step, params, savedir):
         seen_classes=test_ds.seen_classes,
     )
     for batch in exp.test_loader():
-        pred = eval_step(params, batch.device_arrays)
+        pred = eval_step(params, place(batch.device_arrays))
         import numpy as np
 
         pred = np.asarray(pred)
