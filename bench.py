@@ -560,28 +560,60 @@ def _update_last_good(result):
 
     One noisy-low run must not overwrite a good measurement (the relay has
     shown ±15-25% single-sample swings); a >10% median regression is kept
-    out of LAST_GOOD and logged instead — if it is real it will reproduce,
-    and the round artifact (driver-side BENCH_r0N.json) records it anyway.
+    out of LAST_GOOD the first time it appears.  A *persistent* regression
+    is real, though — if the same metric fails the gate on two consecutive
+    runs AND the two refused medians agree with each other (within 10%),
+    the cache accepts it, so the outage fallback never keeps claiming a
+    number the hardware can no longer reproduce.  The refused result is
+    parked in ``LAST_GOOD + '.refused'`` between runs to implement this.
     """
-    prev = None
+    refused_path = LAST_GOOD + ".refused"
+    prev = refused = None
     try:
         with open(LAST_GOOD) as f:
             prev = json.load(f)
     except (OSError, ValueError):
         pass
+    try:
+        with open(refused_path) as f:
+            refused = json.load(f)
+    except (OSError, ValueError):
+        pass
+    # every headline metric must be median-not-worse: f32 inference, the
+    # bf16 serving headline, and train — a noisy-low sample of any of them
+    # must not overwrite a good cached number
+    gate_keys = ("value", "bf16_frames_per_sec_per_chip",
+                 "train_frames_per_sec_per_chip")
     if prev and not prev.get("stale"):
-        # every headline metric must be median-not-worse, not just the f32
-        # inference value — a noisy-low train sample must not overwrite a
-        # good cached train number either
-        for key in ("value", "train_frames_per_sec_per_chip"):
-            old, new = prev.get(key, 0.0), result.get(key, 0.0)
-            if old and new < 0.9 * old:
-                log(f"not refreshing BENCH_LAST_GOOD: {key} median {new:.0f} "
-                    f"is >10% below cached {old:.0f}")
+        regressed = [
+            key for key in gate_keys
+            if prev.get(key, 0.0) and result.get(key, 0.0) < 0.9 * prev[key]
+        ]
+        if regressed:
+            reproduced = refused is not None and all(
+                refused.get(key, 0.0)
+                and abs(result.get(key, 0.0) - refused[key]) <= 0.1 * refused[key]
+                for key in regressed
+            )
+            if not reproduced:
+                log("not refreshing BENCH_LAST_GOOD: "
+                    + ", ".join(
+                        f"{k} median {result.get(k, 0.0):.0f} is >10% below "
+                        f"cached {prev[k]:.0f}" for k in regressed)
+                    + " (will accept if it reproduces next run)")
+                try:
+                    with open(refused_path, "w") as f:
+                        json.dump(result, f, indent=1)
+                except OSError as e:
+                    log(f"could not park refused result: {e}")
                 return
+            log("accepting reproduced regression into BENCH_LAST_GOOD: "
+                + ", ".join(regressed))
     try:
         with open(LAST_GOOD, "w") as f:
             json.dump(result, f, indent=1)
+        if os.path.exists(refused_path):
+            os.remove(refused_path)
     except OSError as e:
         log(f"could not cache last-good result: {e}")
 

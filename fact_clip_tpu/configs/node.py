@@ -92,7 +92,10 @@ class CfgNode(dict):
     def merge_from_file(self, fname: str, _seen: tuple = ()) -> None:
         import os
 
-        real = os.path.abspath(fname)
+        # key the cycle check on realpath so a symlink alias of a config
+        # file still trips the clear diagnostic instead of recursing to
+        # RecursionError
+        real = os.path.realpath(fname)
         if real in _seen:
             chain = " -> ".join(list(_seen) + [real])
             raise ValueError(f"Circular _BASE_ chain in config files: {chain}")
@@ -105,7 +108,7 @@ class CfgNode(dict):
         # yacs surface; absent from its 28 recipe files.
         base = dict.pop(loaded, "_BASE_", None)
         if base is not None:
-            base_path = os.path.join(os.path.dirname(real), base)
+            base_path = os.path.join(os.path.dirname(os.path.abspath(fname)), base)
             if not os.path.exists(base_path):
                 raise FileNotFoundError(
                     f"_BASE_ file {base!r} (referenced by {fname}) not found at {base_path}"

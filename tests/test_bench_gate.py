@@ -106,6 +106,51 @@ def test_last_good_gated_on_median_not_worse(bench):
         assert json.load(f)["value"] == 950.0
 
 
+def test_last_good_accepts_reproduced_regression(bench):
+    good = {"metric": "frames_per_sec_per_chip", "value": 1000.0}
+    with open(bench.LAST_GOOD, "w") as f:
+        json.dump(good, f)
+
+    # first regressed run: refused, parked
+    bench._update_last_good({"metric": "frames_per_sec_per_chip", "value": 780.0})
+    with open(bench.LAST_GOOD) as f:
+        assert json.load(f)["value"] == 1000.0
+
+    # second run agreeing with the parked one: the regression is real
+    bench._update_last_good({"metric": "frames_per_sec_per_chip", "value": 790.0})
+    with open(bench.LAST_GOOD) as f:
+        assert json.load(f)["value"] == 790.0
+    import os
+
+    assert not os.path.exists(bench.LAST_GOOD + ".refused")
+
+
+def test_last_good_nonreproducing_regression_stays_refused(bench):
+    good = {"metric": "frames_per_sec_per_chip", "value": 1000.0}
+    with open(bench.LAST_GOOD, "w") as f:
+        json.dump(good, f)
+
+    # two regressed runs that disagree with each other (>10% apart):
+    # noise, not a persistent regression — keep the good cache
+    bench._update_last_good({"metric": "frames_per_sec_per_chip", "value": 600.0})
+    bench._update_last_good({"metric": "frames_per_sec_per_chip", "value": 800.0})
+    with open(bench.LAST_GOOD) as f:
+        assert json.load(f)["value"] == 1000.0
+
+
+def test_last_good_gates_bf16_headline(bench):
+    good = {"metric": "frames_per_sec_per_chip", "value": 1000.0,
+            "bf16_frames_per_sec_per_chip": 5000.0}
+    with open(bench.LAST_GOOD, "w") as f:
+        json.dump(good, f)
+
+    # f32 fine but the bf16 serving headline regressed >10%: refuse
+    bench._update_last_good({"metric": "frames_per_sec_per_chip", "value": 1000.0,
+                             "bf16_frames_per_sec_per_chip": 4000.0})
+    with open(bench.LAST_GOOD) as f:
+        assert json.load(f)["bf16_frames_per_sec_per_chip"] == 5000.0
+
+
 def test_last_good_stale_entry_always_replaced(bench):
     stale = {"metric": "frames_per_sec_per_chip", "value": 5000.0, "stale": True}
     with open(bench.LAST_GOOD, "w") as f:

@@ -15,6 +15,9 @@ import unittest.mock as mock
 import numpy as np
 import pytest
 
+# trains the fixture model e2e, then three interpret-mode evals per family
+pytestmark = pytest.mark.slow
+
 from fact_clip_tpu.engine import checkpoint as ckpt_io
 from fact_clip_tpu.engine.setup import build_experiment
 from fact_clip_tpu.engine.steps import make_step_fns
@@ -27,15 +30,17 @@ from fact_clip_tpu.utils.results import Checkpoint, save_results
 from test_train_smoke import fixture_base, smoke_cfg  # noqa: F401
 
 
-def _interp(orig):
+def _interp(orig, act_scale=None):
     def f(*a, **kw):
         kw["interpret"] = True
         kw["tile"] = 32
+        if act_scale is not None:
+            kw["act_scale"] = act_scale
         return orig(*a, **kw)
     return f
 
 
-def _eval_metrics(cfg, ckpt_file, quantize: str):
+def _eval_metrics(cfg, ckpt_file, quantize: str, act_scale: str = None):
     c = cfg.clone()
     c.TPU.quantize_infer = quantize
     exp = build_experiment(c)
@@ -45,9 +50,9 @@ def _eval_metrics(cfg, ckpt_file, quantize: str):
     ck = Checkpoint(-1, bg_class=exp.test_dataset.bg_class)
     with mock.patch.object(B, "_PALLAS_PLATFORM_OVERRIDE", "tpu"), \
          mock.patch.object(qc, "dilated_residual_stack_q8",
-                           _interp(qc.dilated_residual_stack_q8)), \
+                           _interp(qc.dilated_residual_stack_q8, act_scale)), \
          mock.patch.object(qc, "dilated_residual2_stack_q8",
-                           _interp(qc.dilated_residual2_stack_q8)), \
+                           _interp(qc.dilated_residual2_stack_q8, act_scale)), \
          mock.patch.object(dc, "dilated_residual_stack",
                            _interp(dc.dilated_residual_stack)), \
          mock.patch.object(dc, "dilated_residual2_stack",
@@ -74,9 +79,14 @@ def test_quantized_eval_metric_parity(fixture_base, tmp_path, fbranch):  # noqa:
     ckpt_file = os.path.join(ckpt_dir, ckpt)
 
     m_f32 = _eval_metrics(cfg, ckpt_file, "")
-    m_q8 = _eval_metrics(cfg, ckpt_file, "int8")
-    assert m_f32.keys() == m_q8.keys() and m_f32
-    worst = max(abs(m_f32[k] - m_q8[k]) for k in m_f32)
-    # the quantization error (~0.5% on activations) must not move frame
-    # predictions on the near-separable fixture; allow one boundary frame
-    assert worst <= 2.0, (worst, m_f32, m_q8)
+    # both activation-scale modes must track f32 on a TRAINED model: "tile"
+    # (the default — one scale per 512-frame VMEM window) is where an
+    # outlier-magnitude frame could degrade every row in its tile, which
+    # the small-random-input kernel gates cannot see (ADVICE r4)
+    for act_scale in ("tile", "row"):
+        m_q8 = _eval_metrics(cfg, ckpt_file, "int8", act_scale)
+        assert m_f32.keys() == m_q8.keys() and m_f32
+        worst = max(abs(m_f32[k] - m_q8[k]) for k in m_f32)
+        # the quantization error (~0.5% on activations) must not move frame
+        # predictions on the near-separable fixture; allow one boundary frame
+        assert worst <= 2.0, (act_scale, worst, m_f32, m_q8)
