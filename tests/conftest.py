@@ -24,6 +24,16 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: e2e trainings, learning-dynamics recipes and interpret-mode "
+        "kernel sweeps (minutes each on the 1-CPU box).  The inner-loop "
+        'gate is `pytest -m "not slow"` (<5 min); run the full suite '
+        "before landing kernel or training-path changes.",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

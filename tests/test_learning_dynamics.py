@@ -24,8 +24,13 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir("/root/reference"), reason="reference repo not mounted")
+pytestmark = [
+    pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                       reason="reference repo not mounted"),
+    # each recipe trains BOTH stacks ~200 steps in subprocesses (~minutes
+    # per test on the 1-CPU box) — the dominant share of the full suite
+    pytest.mark.slow,
+]
 
 
 def test_learning_dynamics_parity(tmp_path):

@@ -75,6 +75,7 @@ def _single_process_losses(steps=3):
     return losses, pv
 
 
+@pytest.mark.slow  # spawns two fresh-jax-compile worker processes
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_two_process_dp_matches_single_process(tmp_path):
     steps = 3
