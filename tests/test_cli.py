@@ -64,6 +64,7 @@ def _run(args, cwd, env):
     )
 
 
+@pytest.mark.slow
 def test_train_and_eval_cli(cli_env):
     root, env = cli_env
     r = _run([os.path.join(REPO, "scripts", "train.py"), "--cfg", "smoke.yaml",

@@ -153,6 +153,7 @@ def clip_cfg(base):
     return cfg
 
 
+@pytest.mark.slow
 def test_fact_clip_holdout_training(clip_fixture, tmp_path):
     cfg = clip_cfg(clip_fixture)
     # synthetic "text embeddings": one-hot-ish directions per class

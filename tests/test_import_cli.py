@@ -19,6 +19,7 @@ REF = "/root/reference"
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference not available")
+@pytest.mark.slow
 def test_import_dry_run_cli(tmp_path):
     import types
 

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.optimize import linear_sum_assignment
 
 from fact_clip_tpu.configs.default import get_cfg_defaults
@@ -283,6 +284,7 @@ def test_auction_epsilon_scaling_adversarial_spreads(rng):
         assert int(stats["iterations"]) < 10000, (name, int(stats["iterations"]))
 
 
+@pytest.mark.slow
 def test_auction_on_trained_model_costs(rng):
     """Cost matrices captured from a *trained* model (near-ties emerge as the
     model converges): auction assignment must equal scipy's and produce equal

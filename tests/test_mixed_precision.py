@@ -44,6 +44,7 @@ def test_dtype_threads_through_block_cfgs():
     assert all(c.dtype == "bfloat16" for c in resolve_block_cfgs(cfg))
 
 
+@pytest.mark.slow
 def test_bf16_forward_close_to_f32(rng):
     batch = make_batch(rng)
     cfg = small_cfg("iuU")
@@ -78,6 +79,7 @@ def test_bf16_saves_probs_are_f32_and_normalized(rng):
             np.testing.assert_allclose(p.sum(-1)[mask], 1.0, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_bf16_loss_and_grads_close(rng):
     batch = make_batch(rng)
     C = 5

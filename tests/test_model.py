@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fact_clip_tpu.configs.default import get_cfg_defaults
 from fact_clip_tpu.models import decode, losses, matching
@@ -114,6 +115,7 @@ def test_forward_shapes(rng):
     np.testing.assert_allclose(a2f.sum(-1), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_forward_padding_invariance(rng):
     """The entire stacked model must produce identical valid-frame outputs
     whether a video is padded or exact — including through the TDU block."""

@@ -3,6 +3,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from fact_clip_tpu.models import layers as L
@@ -199,6 +200,7 @@ def test_gru_cell_matches_torch(rng):
     np.testing.assert_allclose(np.array(ours), ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bigru_matches_torch_and_padding_invariant(rng):
     in_dim, H, layers, T = 6, 4, 2, 9
     tgru = torch.nn.GRU(in_dim, H, layers, bidirectional=True)

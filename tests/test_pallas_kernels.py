@@ -142,6 +142,7 @@ def test_stack_matches_per_layer(rng, use_ln):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_stack_grads_match_reference(rng):
     from fact_clip_tpu.ops.pallas.dilated_conv import dilated_residual_stack
 
@@ -821,6 +822,7 @@ def test_mha_bf16_backward(rng):
     _assert_cotangent_dtypes((q, x, pos, wk, bk, wv, bv), grads)
 
 
+@pytest.mark.slow
 def test_stack_dilation_larger_than_tile(rng):
     """Short buckets with deep towers: dilation > tile used to read unwritten
     halo garbage in tiles past the first/last (zeroing was edge-tile-only)."""
@@ -887,6 +889,7 @@ def test_stack_grads_no_ln(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
 
 
+@pytest.mark.slow
 def test_full_model_grads_pallas_vs_xla(rng):
     """Integration guard: the whole FACT model's loss + grads with EVERY
     fused kernel engaged (stacks, MHA, X2Y — interpret mode, all custom
@@ -1150,6 +1153,7 @@ def test_sa_layer_fused_grads_match(rng):
     np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4 * np.abs(ref).max())
 
 
+@pytest.mark.slow
 def test_sca_layer_fused_matches_plain(rng):
     """SCALayer(use_pallas_sa): fused self-attn + FFN sublayers around the
     unchanged cross-attention; identical tree, equal outputs and grads."""
@@ -1316,6 +1320,7 @@ def test_q8_stack2_act_scale_modes(rng, act_scale):
     np.testing.assert_array_equal(q8[1, 50:], 0.0)
 
 
+@pytest.mark.slow
 def test_mstcn_q8_path_close_to_unfused(rng):
     """MSTCN with quantize='int8' (eval) tracks the unfused f32 module; the
     same module under deterministic=False takes the differentiable path."""

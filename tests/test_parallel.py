@@ -136,6 +136,7 @@ def test_gspmd_full_model_seq_sharding_matches_dense():
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_train_step_on_2d_mesh():
     """Full train step (grad + auction matching + optimizer) under a real
     data x seq mesh sharding."""
@@ -280,6 +281,7 @@ def test_make_hybrid_mesh_shapes():
     assert m2.devices.shape == (1, 4, 2)
 
 
+@pytest.mark.slow
 def test_train_step_on_hybrid_mesh():
     """Full train step under the multi-slice (DCN-outer) mesh layout: batch
     sharded over slice x data, time over seq, numerics equal to unsharded."""

@@ -91,6 +91,7 @@ def test_roundtrip_identity(a, f, a_dim, hid_dim):
     _assert_trees_equal(params, back)
 
 
+@pytest.mark.slow
 def test_roundtrip_identity_verbnoun(tmp_path):
     from fact_clip_tpu.data.synthetic import make_epic_fixture
     from fact_clip_tpu.models.verbnoun import build_verbnoun_fact, load_vids_nids

@@ -65,6 +65,7 @@ def smoke_cfg(base, block="iuU"):
     return cfg
 
 
+@pytest.mark.slow
 def test_training_learns_and_checkpoints(fixture_base, tmp_path):
     cfg = smoke_cfg(fixture_base)
     state, best_ckpt = run_train(cfg, base_dir=str(tmp_path))
@@ -96,6 +97,7 @@ def test_training_learns_and_checkpoints(fixture_base, tmp_path):
     assert steps == sorted(steps)
 
 
+@pytest.mark.slow
 def test_finish_proof_skips_rerun(fixture_base, tmp_path):
     cfg = smoke_cfg(fixture_base)
     cfg.epoch = 1
@@ -107,6 +109,7 @@ def test_finish_proof_skips_rerun(fixture_base, tmp_path):
         run_train(cfg2, base_dir=str(tmp_path))
 
 
+@pytest.mark.slow
 def test_training_multidevice_mesh(fixture_base, tmp_path):
     """run_train on a data x seq mesh over the 8 virtual devices."""
     cfg = smoke_cfg(fixture_base)
@@ -168,6 +171,7 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert it == 3 and f.endswith("network.iter-3.orbax")
 
 
+@pytest.mark.slow
 def test_training_streaming_features(fixture_base, tmp_path):
     """Training with per-batch feature streaming (cfg.TPU.cache_features=false)."""
     cfg = smoke_cfg(fixture_base, block="iu")
@@ -181,6 +185,7 @@ def test_training_streaming_features(fixture_base, tmp_path):
     assert np.isfinite(best_ckpt.metrics["AccB"])
 
 
+@pytest.mark.slow
 def test_crash_resume_continues_from_checkpoint(fixture_base, tmp_path, capsys):
     """Crash-restart contract: after an interrupted run (no FINISH_PROOF),
     resume='max' loads the newest network.iter-N and continues from there."""

@@ -11,6 +11,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fact_clip_tpu.engine import checkpoint as ckpt_io
 from fact_clip_tpu.engine.state import create_train_state
@@ -59,6 +60,7 @@ def _trees_equal(a, b):
     return all(np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(fa, fb))
 
 
+@pytest.mark.slow
 def test_resume_equivalence_adam(tmp_path):
     cfg, state0, train_step, batch = _setup("Adam")
 
@@ -98,6 +100,7 @@ def _synthetic_grads(params, k):
     return jax.tree_util.tree_map(lambda p: jnp.cos(p * (k + 3.0)) * 1e-2, params)
 
 
+@pytest.mark.slow
 def test_flat_layout_optimizer_math_bitexact():
     """TPU.flat_opt_state changes the optimizer-state layout, not the math:
     fed identical gradients, the flat and tree layouts produce bit-identical
@@ -129,6 +132,7 @@ def test_flat_layout_optimizer_math_with_clip():
     _trees_close(state_f.params, state_t.params, rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_flat_and_tree_layouts_train_same_losses():
     """End-to-end: the two layouts compile into different XLA programs, so
     training is only reproducible to rounding — and this model family is
@@ -145,6 +149,7 @@ def test_flat_and_tree_layouts_train_same_losses():
     np.testing.assert_allclose(losses_f, losses_t, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_sidecar_interop_between_layouts(tmp_path):
     """A sidecar written under one state layout restores into the other
     bit-exactly (sidecars are always tree-layout on disk)."""
@@ -181,6 +186,7 @@ def test_sidecar_interop_between_layouts(tmp_path):
     _trees_close(cont_t.params, cont_f.params, rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_weights_only_resume_differs_for_adam(tmp_path):
     """Sanity: restarting Adam moments (the reference contract) is NOT
     equivalent — proving the sidecar carries real information."""
@@ -255,6 +261,7 @@ def test_old_x2y_checkpoint_layout_migrates(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_old_trainstate_sidecar_migrates(tmp_path):
     """A pre-migration TrainState sidecar (old param layouts in params AND in
     the param-shaped Adam moments) restores through load_train_state instead

@@ -61,6 +61,7 @@ def test_load_vids_nids(epic_fixture):
     assert vids.max() < 3 and nids.max() < 4
 
 
+@pytest.mark.slow
 def test_verbnoun_training_smoke(epic_fixture, tmp_path):
     cfg = get_cfg_defaults()
     cfg.dataset = "epic"
