@@ -26,6 +26,13 @@ process lowers the Pallas kernels through Mosaic without a TPU device, so
 production artifacts (fused kernels) can be built on any machine.  A
 multi-platform artifact (``("tpu", "cpu")``) must be built with the Pallas
 kernels disabled, because ``pallas_call`` has no CPU lowering.
+
+Scope: artifacts are single-device programs (one chip per replica, the
+serving deployment shape).  Videos beyond the single-chip max-T (245,760
+frames inference on v5e — BASELINE.md max-T table) are out of scope for
+AOT artifacts; serve those through the live eval path, which shards the
+time axis across chips per batch length (``TPU.num_seq_shards`` +
+``TPU.eval_seq_min_T``, parallel/mesh.py::make_eval_placer).
 """
 
 from __future__ import annotations

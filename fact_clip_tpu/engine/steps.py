@@ -54,9 +54,11 @@ def make_step_fns(model, cfg, nclasses: int, cweight, clip_bundle=None, verbnoun
                 return decode.decode_transcript_attn_only(
                     batch["transcript"], batch["seg_mask"], last["a2f_attn"]
                 )
+            from ..models.blocks import _want_pallas
+
             return composed_decode(
                 last["action_logp"], last["a2f_attn"], last["frame_vlogp"], last["frame_nlogp"],
-                vn_vids, vn_nids, mwt, token_mask,
+                vn_vids, vn_nids, mwt, token_mask, pallas=_want_pallas(cfg),
             )
         token_mask = batch["seg_mask"] if trans else jnp.ones(last["action_clogit"].shape[:2], bool)
         if trans:

@@ -98,7 +98,8 @@ class _TDUCore(nn.Module):
     gru_layers: int
 
     @nn.compact
-    def __call__(self, frame_feature, frame_mask, vids, nids, deterministic, tables=None):
+    def __call__(self, frame_feature, frame_mask, vids, nids, deterministic, tables=None,
+                 pallas: bool = False):
         S = self.s_pred_cap
         cprob = frame_feature[..., -(self.n1 + self.n2):]
         vprob, nprob = cprob[..., : self.n1], cprob[..., self.n1 :]
@@ -106,7 +107,7 @@ class _TDUCore(nn.Module):
         # factored over (verb, noun) instead of materializing (T, n_act)
         pred = composed_argmax(
             jnp.log(jnp.maximum(vprob, 1e-30)), jnp.log(jnp.maximum(nprob, 1e-30)), vids, nids,
-            tables=tables,
+            tables=tables, pallas=pallas,
         )
 
         seg_id, _ = jax.vmap(lambda p, m: segments.segment_ids_from_pred(p, m, S))(pred, frame_mask)
@@ -140,14 +141,15 @@ class InputBlockTDUVN(nn.Module):
 
     @nn.compact
     def __call__(self, frame_feature, action_feature, frame_pos, action_pos,
-                 frame_mask, token_mask, vids, nids, deterministic, tables=None):
+                 frame_mask, token_mask, vids, nids, deterministic, tables=None,
+                 pallas: bool = False):
         c = self.c
         frame_feature = make_fbranch(c, self.in_dim, "frame_branch")(frame_feature, frame_mask, deterministic)
         frame_feature, frame_clogit = process_feature_vn(frame_feature, self.n1, self.n2)
 
         # the reference's 'I' block uses a fixed 2-layer segment GRU (:370)
         tdu = _TDUCore(c, self.n1, self.n2, self.s_pred_cap, gru_layers=2, name="tdu")(
-            frame_feature, frame_mask, vids, nids, deterministic, tables=tables
+            frame_feature, frame_mask, vids, nids, deterministic, tables=tables, pallas=pallas
         )
         seg_pos = frame_pos[tdu["centers"]]
 
@@ -184,10 +186,11 @@ class UpdateBlockTDUVN(nn.Module):
 
     @nn.compact
     def __call__(self, frame_feature, action_feature, frame_pos, action_pos,
-                 frame_mask, token_mask, vids, nids, deterministic, tables=None):
+                 frame_mask, token_mask, vids, nids, deterministic, tables=None,
+                 pallas: bool = False):
         c = self.c
         tdu = _TDUCore(c, self.n1, self.n2, self.s_pred_cap, gru_layers=c.s_layers, name="tdu")(
-            frame_feature, frame_mask, vids, nids, deterministic, tables=tables
+            frame_feature, frame_mask, vids, nids, deterministic, tables=tables, pallas=pallas
         )
         seg_feature = tdu["seg_feature"]
         seg_valid = tdu["seg_valid"]
@@ -266,9 +269,12 @@ class VerbNounFACT(nn.Module):
         bi = self.block_cfgs[0]
         vids = jnp.asarray(self.vids, jnp.int32)
         nids = jnp.asarray(self.nids, jnp.int32)
-        # factored (verb,noun) argmax tables measured 3x SLOWER than the dense
-        # gather on v5e (XLA does not fuse the (T,n1,n2) broadcast-max well;
-        # scripts/bench_epic.py) — keep the dense composition
+        # On the Pallas path, every TDU's composed argmax runs the fused
+        # VMEM-resident MXU kernel (ops/pallas/compose_decode.py) — ~3x the
+        # dense gather at epic scale.  The XLA factored form stays a
+        # negative result (the (T,n1,n2) broadcast-max materializes);
+        # without Pallas the dense composition remains the default.
+        pallas_compose = bool(bi.pallas)
         tables = None
 
         frame_pos = L.positional_encoding_table(T, bi.hid_dim, empty=not self.fpos)
@@ -313,7 +319,7 @@ class VerbNounFACT(nn.Module):
                 raise ValueError(f"verb/noun model only supports 'I'/'U' blocks, got {c.kind!r}")
             frame_feature, action_feature, saves = block(
                 frame_feature, action_feature, frame_pos, action_pos, mask, token_mask,
-                vids, nids, deterministic, tables=tables,
+                vids, nids, deterministic, tables=tables, pallas=pallas_compose,
             )
             saves_list.append(saves)
 

@@ -86,17 +86,28 @@ def composed_argmax_factored(lv, ln, mask_vn, a_table):
     return a_table[v_star, n_star]
 
 
-def composed_argmax(lv, ln, vids, nids, chunk: int = 4096, tables=None):
+def composed_argmax(lv, ln, vids, nids, chunk: int = 4096, tables=None,
+                    pallas: bool = False):
     """argmax over actions of the composed log-prob.
 
     lv: (B, T, n1), ln: (B, T, n2).  Returns (B, T) int32.
 
-    ``tables`` (mask_vn, a_table from build_factored_tables) selects the
-    factored formulation — preferred on TPU.  Otherwise, with ``chunk >=
-    n_act`` (the default for epic's ~3800 actions) the composition is one
-    dense transient pass — it is consumed immediately, so nothing persists
-    in HBM; smaller chunks stream it for extreme T.
+    ``pallas=True`` runs the fused VMEM-resident MXU argmax
+    (ops/pallas/compose_decode.py::mxu_argmax): the (T, n_act) composition
+    never reaches HBM — ~1 ms vs ~3 ms per site at epic scale.  Two-term
+    bf16 splits keep the error at ~2^-16 relative (near-exact-tie flips
+    only; the exact-f32 factored kernel measured 2.65 ms/site, lane-reduce
+    bound, and is kept for reference/verification).  ``tables`` alone
+    (mask_vn, a_table from build_factored_tables) selects the XLA factored
+    formulation (measured SLOWER than dense under XLA).  Otherwise, with
+    ``chunk >= n_act`` (the default for epic's ~3800 actions) the
+    composition is one dense transient pass; smaller chunks stream it for
+    extreme T.
     """
+    if pallas:
+        from .pallas.compose_decode import mxu_argmax
+
+        return mxu_argmax(lv, ln, vids, nids)
     if tables is not None:
         return composed_argmax_factored(lv, ln, tables[0], tables[1])
     if chunk >= vids.shape[0]:
@@ -126,13 +137,19 @@ def composed_argmax(lv, ln, vids, nids, chunk: int = 4096, tables=None):
 
 
 def composed_decode(action_logp, a2f_attn, lv, ln, vids, nids, weight: float,
-                    token_mask, chunk: int = 4096, tables=None):
+                    token_mask, chunk: int = 4096, tables=None,
+                    pallas: bool = False):
     """Two-branch verb/noun decode without materializing (T, n_act).
 
     Equivalent to models/decode.py::decode_two_branch_logp on
     frame_logp = compose(lv, ln): per frame, blend the voting token's
     renormalized action probs with exp(composed logp) and argmax; fall back
     to the composed argmax when every token predicts null.
+
+    ``pallas=True`` runs the blend + both argmaxes as one VMEM-resident
+    kernel (ops/pallas/compose_decode.py): the (T, n_act) composition runs
+    on the MXU via one-hot matmuls with two-term bf16 splits (~2^-16
+    relative error; near-tie flips only) and never reaches HBM.
     """
     B, M, C1 = action_logp.shape
     null_id = C1 - 1
@@ -146,6 +163,15 @@ def composed_decode(action_logp, a2f_attn, lv, ln, vids, nids, weight: float,
     neg = jnp.asarray(-jnp.inf, a2f_attn.dtype)
     attn_masked = jnp.where(nonnull[:, None, :], a2f_attn, neg)
     act_idx = jnp.argmax(attn_masked, axis=-1)  # (B, T) voting token
+
+    if pallas:
+        from .pallas.compose_decode import blend_argmax
+
+        pred, fb = blend_argmax(lv, ln, vids, nids, qtk_prob, act_idx,
+                                float(weight))
+        # the fallback argmax comes out of the same kernel, so a cheap
+        # select replaces the lax.cond the XLA path uses to skip it
+        return jnp.where(has_action[:, None], pred, fb)
 
     def _apply_fallback(pred):
         # only pay for the all-null fallback argmax when some video needs it

@@ -235,6 +235,7 @@ def main():
             last["action_logp"], last["a2f_attn"], last["frame_vlogp"], last["frame_nlogp"],
             jnp.asarray(vids), jnp.asarray(nids), 0.5,
             jnp.ones(last["action_logp"].shape[:2], bool),
+            pallas=jax.default_backend() == "tpu",
         )
         return pred
 

@@ -48,6 +48,7 @@ def main():
         return composed_decode(
             last["action_logp"], last["a2f_attn"], last["frame_vlogp"], last["frame_nlogp"],
             jvids, jnids, 0.5, jnp.ones(last["action_logp"].shape[:2], bool),
+            pallas=jax.default_backend() == "tpu",
         )
 
     @functools.partial(jax.jit, static_argnames="n")

@@ -29,7 +29,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # hardware-verified) run first — if the relay drops mid-run, the artifact
 # still covers the riskiest code.  verify_x2y_bwd is also the slowest
 # suite (~21 min of compiles), so it goes last.
-SUITES = ["verify_quant.py", "verify_sa_layer.py", "verify_frame_loss.py",
+SUITES = ["verify_compose.py", "verify_outproj.py",
+          "verify_quant.py", "verify_sa_layer.py", "verify_frame_loss.py",
           "verify_assignment.py", "verify_stack_bwd.py", "verify_pallas_mha.py",
           "verify_pallas_dropout.py", "verify_x2y_bwd.py"]
 

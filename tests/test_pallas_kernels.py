@@ -180,6 +180,83 @@ def test_stack_grads_match_reference(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
 
 
+def _vn_fixture(rng, n1=13, n2=29, n_act=97, B=2, T=200, M=7):
+    pairs = set()
+    while len(pairs) < n_act:
+        pairs.add((int(rng.integers(0, n1)), int(rng.integers(0, n2))))
+    pairs = sorted(pairs)
+    vids = jnp.asarray([p[0] for p in pairs], jnp.int32)
+    nids = jnp.asarray([p[1] for p in pairs], jnp.int32)
+    lv = jnp.asarray(np.log(rng.dirichlet(np.ones(n1), size=(B, T))), jnp.float32)
+    ln = jnp.asarray(np.log(rng.dirichlet(np.ones(n2), size=(B, T))), jnp.float32)
+    return vids, nids, lv, ln
+
+
+def test_compose_factored_argmax_kernel(rng):
+    """The fused factored argmax equals the XLA factored form EXACTLY (same
+    f32 max/add reductions) and the dense gather up to exact ties."""
+    from fact_clip_tpu.ops.pallas.compose_decode import factored_argmax
+    from fact_clip_tpu.ops.verbnoun_compose import (
+        build_factored_tables, composed_argmax, composed_argmax_factored)
+
+    vids, nids, lv, ln = _vn_fixture(rng)
+    mvn, at = build_factored_tables(vids, nids, 13, 29)
+    mvn, at = jnp.asarray(mvn), jnp.asarray(at)
+    got = factored_argmax(lv, ln, mvn, at, tile=64, interpret=True)
+    ref_fact = composed_argmax_factored(lv, ln, mvn, at)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref_fact))
+    ref_dense = composed_argmax(lv, ln, vids, nids)
+    agree = float((got == ref_dense).mean())
+    assert agree >= 0.999, agree
+
+
+def test_compose_mxu_argmax_kernel(rng):
+    """The MXU one-hot composed argmax (the production TDU path) matches the
+    dense gather argmax up to near-exact ties (two-term bf16 split)."""
+    from fact_clip_tpu.ops.pallas.compose_decode import mxu_argmax
+    from fact_clip_tpu.ops.verbnoun_compose import composed_argmax
+
+    vids, nids, lv, ln = _vn_fixture(rng)
+    got = mxu_argmax(lv, ln, vids, nids, tile=64, interpret=True)
+    ref = composed_argmax(lv, ln, vids, nids)
+    agree = float((got == ref).mean())
+    assert agree >= 0.999, agree
+
+
+@pytest.mark.parametrize("weight", [0.5, 0.0, 1.0])
+def test_compose_blend_argmax_kernel(rng, weight):
+    """The fused blend decode matches composed_decode's XLA path (two-term
+    bf16 split compose: near-tie flips only -> >=99.9% agreement; measured
+    1.000 on this fixture)."""
+    import unittest.mock as mock
+
+    from fact_clip_tpu.ops.pallas import compose_decode as cd
+    from fact_clip_tpu.ops.verbnoun_compose import composed_decode
+
+    vids, nids, lv, ln = _vn_fixture(rng)
+    B, T, M, n_act = 2, 200, 7, 97
+    alogp = jnp.asarray(np.log(rng.dirichlet(np.ones(n_act + 1), size=(B, M))), jnp.float32)
+    attn = jnp.asarray(rng.standard_normal((B, T, M)), jnp.float32)
+    token_mask = jnp.asarray(np.ones((B, M), bool))
+    # make one video all-null to exercise the in-kernel fallback argmax
+    alogp = alogp.at[1, :, :-1].add(-50.0)
+
+    ref = composed_decode(alogp, attn, lv, ln, vids, nids, weight, token_mask)
+
+    def interp(orig):
+        def f(*a, **kw):
+            kw["interpret"] = True
+            kw["tile"] = 64
+            return orig(*a, **kw)
+        return f
+
+    with mock.patch.object(cd, "blend_argmax", interp(cd.blend_argmax)):
+        got = composed_decode(alogp, attn, lv, ln, vids, nids, weight,
+                              token_mask, pallas=True)
+    agree = float((got == ref).mean())
+    assert agree >= 0.999, agree
+
+
 @pytest.mark.parametrize("use_ln", [True, False])
 def test_stack_fused_out_projection(rng, use_ln):
     """out_params folds the out dense into the last kernel: forward equals
