@@ -107,7 +107,12 @@ def composed_argmax(lv, ln, vids, nids, chunk: int = 4096, tables=None,
     if pallas:
         from .pallas.compose_decode import mxu_argmax
 
-        return mxu_argmax(lv, ln, vids, nids)
+        # integer argmax carries no gradient; stop_gradient keeps tangents
+        # out of the pallas_call so the surrounding train-step autodiff
+        # (the TDU runs inside the differentiated forward) never tries to
+        # linearize the kernel
+        return mxu_argmax(jax.lax.stop_gradient(lv),
+                          jax.lax.stop_gradient(ln), vids, nids)
     if tables is not None:
         return composed_argmax_factored(lv, ln, tables[0], tables[1])
     if chunk >= vids.shape[0]:
@@ -167,8 +172,12 @@ def composed_decode(action_logp, a2f_attn, lv, ln, vids, nids, weight: float,
     if pallas:
         from .pallas.compose_decode import blend_argmax
 
-        pred, fb = blend_argmax(lv, ln, vids, nids, qtk_prob, act_idx,
-                                float(weight))
+        # integer decode carries no gradient; keep tangents out of the
+        # kernel (the train step decodes inside the differentiated loss_fn
+        # for its logged predictions)
+        sg = jax.lax.stop_gradient
+        pred, fb = blend_argmax(sg(lv), sg(ln), vids, nids, sg(qtk_prob),
+                                act_idx, float(weight))
         # the fallback argmax comes out of the same kernel, so a cheap
         # select replaces the lax.cond the XLA path uses to skip it
         return jnp.where(has_action[:, None], pred, fb)

@@ -223,6 +223,60 @@ def test_compose_mxu_argmax_kernel(rng):
     assert agree >= 0.999, agree
 
 
+def test_compose_mxu_argmax_under_autodiff(rng):
+    """The TDU's composed argmax runs inside the differentiated train
+    forward: grad through a loss that consumes the (integer) predictions'
+    one-hot contraction must not try to linearize the kernel (stop_gradient
+    on its inputs), and the primal must still match the dense path."""
+    import unittest.mock as mock
+
+    from fact_clip_tpu.ops.pallas import compose_decode as cd
+    from fact_clip_tpu.ops.verbnoun_compose import composed_argmax
+
+    vids, nids, lv, ln = _vn_fixture(rng)
+
+    def interp(orig):
+        def f(*a, **kw):
+            kw["interpret"] = True
+            kw["tile"] = 64
+            return orig(*a, **kw)
+        return f
+
+    def loss(lv, ln):
+        with mock.patch.object(cd, "mxu_argmax", interp(cd.mxu_argmax)):
+            pred = composed_argmax(lv, ln, vids, nids, pallas=True)
+        onehot = jax.nn.one_hot(pred, 97)
+        # a loss that touches lv through BOTH a differentiable path and the
+        # argmax-selected indices (exactly the TDU pooling pattern)
+        return (onehot * lv[..., :1]).sum() + (lv ** 2).mean()
+
+    g = jax.grad(loss)(lv, ln)
+    assert np.isfinite(np.asarray(g)).all()
+    with mock.patch.object(cd, "mxu_argmax", interp(cd.mxu_argmax)):
+        pred = composed_argmax(lv, ln, vids, nids, pallas=True)
+    ref = composed_argmax(lv, ln, vids, nids)
+    assert float((pred == ref).mean()) >= 0.999
+
+    # the train step also runs the BLEND decode inside the differentiated
+    # loss_fn (logged predictions) — must not linearize either
+    from fact_clip_tpu.ops.verbnoun_compose import composed_decode
+
+    B, T, M, n_act = lv.shape[0], lv.shape[1], 7, 97
+    rng2 = np.random.default_rng(5)
+    alogp = jnp.asarray(np.log(rng2.dirichlet(np.ones(n_act + 1), size=(B, M))), jnp.float32)
+    attn = jnp.asarray(rng2.standard_normal((B, T, M)), jnp.float32)
+    tm = jnp.ones((B, M), bool)
+
+    def loss2(lv, ln):
+        with mock.patch.object(cd, "blend_argmax", interp(cd.blend_argmax)):
+            pred = composed_decode(alogp, attn, lv, ln, vids, nids, 0.5, tm,
+                                   pallas=True)
+        return (jax.nn.one_hot(pred, n_act) * lv[..., :1]).sum() + (ln ** 2).mean()
+
+    g2 = jax.grad(loss2, argnums=1)(lv, ln)
+    assert np.isfinite(np.asarray(g2)).all()
+
+
 @pytest.mark.parametrize("weight", [0.5, 0.0, 1.0])
 def test_compose_blend_argmax_kernel(rng, weight):
     """The fused blend decode matches composed_decode's XLA path (two-term
