@@ -73,18 +73,31 @@ def main():
 
     import jax  # platform stamp only; suites initialize their own runtimes
 
-    results = [run_suite(s) for s in SUITES]
-    artifact = {
-        "platform": jax.default_backend(),
-        "device": str(jax.devices()[0]),
-        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "suites": results,
-        "ok": all(r["ok"] for r in results),
-        "n_checks": sum(len(r["checks"]) for r in results),
-        "n_pass": sum(sum(c["pass"] for c in r["checks"]) for r in results),
-    }
-    with open(args.out, "w") as f:
-        json.dump(artifact, f, indent=1)
+    # write the artifact INCREMENTALLY after each suite: a relay outage or
+    # an external timeout mid-run then still leaves a truthful partial
+    # artifact (suites not yet run are listed as pending)
+    results = []
+
+    def flush():
+        artifact = {
+            "platform": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "suites": results,
+            "pending": SUITES[len(results):],
+            "ok": bool(results) and all(r["ok"] for r in results) and len(results) == len(SUITES),
+            "n_checks": sum(len(r["checks"]) for r in results),
+            "n_pass": sum(sum(c["pass"] for c in r["checks"]) for r in results),
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        return artifact
+
+    for s in SUITES:
+        results.append(run_suite(s))
+        artifact = flush()
+        print(f"[{len(results)}/{len(SUITES)}] {s}: "
+              f"{'ok' if results[-1]['ok'] else 'FAIL'}", flush=True)
     print(f"{artifact['n_pass']}/{artifact['n_checks']} checks pass "
           f"({'OK' if artifact['ok'] else 'FAIL'}) -> {args.out}")
     sys.exit(0 if artifact["ok"] else 1)

@@ -135,6 +135,7 @@ def test_multiplatform_requires_pallas_off(exp, tmp_path):
         np.testing.assert_array_equal(want, got)
 
 
+@pytest.mark.slow
 def test_transcript_mode_export(fixture_base, tmp_path):
     cfg = smoke_cfg(fixture_base)
     cfg.batch_size = 2

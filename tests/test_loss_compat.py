@@ -14,6 +14,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fact_clip_tpu.configs.default import get_cfg_defaults
 from fact_clip_tpu.models import losses
@@ -140,6 +141,7 @@ def test_action_token_contrastive_loss_parity_vs_reference():
     np.testing.assert_allclose(np.asarray(ours), np.array(refs, np.float32), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_egoprocel_bgw_loss_parity_vs_reference():
     """bgw=0.5 (egoprocel) + ref_weight_order=True must match the live
     reference's end-to-end loss; also quantifies the flag-off delta."""

@@ -142,6 +142,7 @@ def test_forward_padding_invariance(rng):
         )
 
 
+@pytest.mark.slow
 def test_loss_finite_and_padding_invariant(rng):
     cfg = small_cfg("iuU")
     batch = make_batch(rng, B=2, T=48, lengths=(48, 33))
@@ -177,6 +178,7 @@ def test_loss_finite_and_padding_invariant(rng):
     np.testing.assert_allclose(np.array(per_video[1]), np.array(solo_loss[0]), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_grad_flows(rng):
     cfg = small_cfg("iu")
     batch = make_batch(rng, T=32, lengths=(32, 20))

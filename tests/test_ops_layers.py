@@ -148,6 +148,7 @@ def test_dilated_conv_matches_torch(rng):
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mstcn_padding_invariance(rng):
     """Valid-frame outputs must be identical whether or not padding exists."""
     B, T, L_pad, C = 1, 33, 64, 16

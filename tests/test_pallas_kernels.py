@@ -66,6 +66,7 @@ def test_fused_kernel_odd_lengths(rng):
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_kernel_custom_vjp_matches_autodiff(rng):
     """Gradients through the fused layer must match autodiff of the dense ops."""
     B, T, C, d = 2, 60, 8, 4
@@ -107,6 +108,7 @@ def _rand_layer(rng, C):
     return (wd, bd, w1, b1, g, beta)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("use_ln", [True, False])
 def test_stack_matches_per_layer(rng, use_ln):
     """Pad-once fused stack == sequential masked per-layer computation."""
@@ -389,6 +391,7 @@ def test_stack2_fused_out_projection(rng):
         np.testing.assert_allclose(np.asarray(p), np.asarray(q), atol=5e-4)
 
 
+@pytest.mark.slow
 def test_mstcn_stack_path_matches_unfused(rng):
     """MSTCN with use_pallas (stack, interpret unavailable -> force interpret
     via monkeypatched flag) equals the unfused module path on valid frames."""
@@ -445,6 +448,7 @@ def _x2y_xla_reference(y_in, y_pos, x_in, x_pos, wk, bk, wv, bv, wq, bq, x_len):
     return attn, probs, logits
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("X,Y", [(24, 70), (2000, 16)])  # small-X | flash
 def test_x2y_attention_matches_xla(rng, X, Y):
     from fact_clip_tpu.ops.pallas.x2y_attn import x2y_attention
@@ -475,6 +479,7 @@ def test_x2y_attention_matches_xla(rng, X, Y):
     np.testing.assert_allclose(np.asarray(attn), np.asarray(ra), atol=2e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("X,Y", [(24, 70), (2000, 16)])
 def test_x2y_attention_grads_match_xla(rng, X, Y):
     from fact_clip_tpu.ops.pallas.x2y_attn import x2y_attention
@@ -668,6 +673,7 @@ def test_mha_cross_attention_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
 
 
+@pytest.mark.slow
 def test_mha_cross_attention_grads_match_xla(rng):
     from fact_clip_tpu.ops.pallas.mha_attn import _mha_reference, mha_cross_attention
 
@@ -829,6 +835,7 @@ def test_stack_bf16_backward(rng):
     assert cos > 0.98, cos
 
 
+@pytest.mark.slow
 def test_stack2_bf16_backward(rng):
     from fact_clip_tpu.ops.pallas.dilated_conv import dilated_residual2_stack
 
@@ -928,6 +935,7 @@ def test_x2y_bf16_backward(rng, X, Y):
     _assert_cotangent_dtypes(vals, grads)
 
 
+@pytest.mark.slow
 def test_mha_bf16_backward(rng):
     from fact_clip_tpu.ops.pallas.mha_attn import mha_cross_attention
 
@@ -981,6 +989,7 @@ def test_stack_dilation_larger_than_tile(rng):
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gr), atol=3e-4)
 
 
+@pytest.mark.slow
 def test_stack_grads_no_ln(rng):
     """use_ln=False (the flagship f_ln: false recipe) through the fused
     backward kernels."""
@@ -1123,6 +1132,7 @@ def test_fused_frame_loss_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(sl2), np.asarray(sl_sum), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_frame_loss_grads_match_xla(rng):
     from fact_clip_tpu.models import losses
     from fact_clip_tpu.ops.pallas.frame_loss import fused_ce_smooth_sums
@@ -1154,6 +1164,7 @@ def test_fused_frame_loss_grads_match_xla(rng):
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_frame_loss_multi_tile(rng, monkeypatch):
     """Tile-boundary pairs: force K=16 so T=100 spans 7 tiles (last partial)."""
     from fact_clip_tpu.models import losses
@@ -1188,6 +1199,7 @@ def test_fused_frame_loss_multi_tile(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_block_loss_fused_path_matches(rng):
     """block_loss with use_pallas=True (interpret-patched) == plain path."""
     from unittest import mock
@@ -1263,6 +1275,7 @@ def test_sa_layer_fused_matches_plain(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sa_layer_fused_grads_match(rng):
     B, M, E, H, F = 2, 9, 64, 4, 48
     x = jnp.array(rng.normal(size=(B, M, E)).astype(np.float32))
@@ -1324,6 +1337,7 @@ def test_sca_layer_fused_matches_plain(rng):
     np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4 * np.abs(ref).max())
 
 
+@pytest.mark.slow
 def test_sa_layer_fused_bf16(rng):
     """bf16 mixed precision through the fused sublayers: matches the XLA
     bf16 path within bf16 tolerance, cotangents finite and input-dtyped."""
@@ -1350,6 +1364,7 @@ def test_sa_layer_fused_bf16(rng):
 # int8-quantized inference stack (ops/pallas/quant_conv.py)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("use_ln", [True, False])
 def test_q8_stack_close_to_f32(rng, use_ln):
     """Int8 tower tracks the f32 fused tower within dynamic-quant tolerance
@@ -1428,6 +1443,7 @@ def test_q8_stack_act_scale_modes(rng, act_scale):
     np.testing.assert_array_equal(q8[1, 50:], 0.0)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("act_scale", ["row", "tile"])
 def test_q8_stack2_act_scale_modes(rng, act_scale):
     from fact_clip_tpu.ops.pallas.dilated_conv import dilated_residual2_stack
@@ -1624,6 +1640,7 @@ def test_dense_q8_close_and_tree_compatible(rng):
     np.testing.assert_allclose(np.asarray(dense_q8(x, w, b)), y_q8, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_q8_stack_bf16_streams(rng):
     """Int8 tower under mixed precision: bf16 inter-layer streams in/out,
     quantization from the bf16 values, still tracks the f32 tower."""

@@ -118,6 +118,7 @@ def _small_model_and_batch(T=256, min_len=None):
     return cfg, model, params, batch, C
 
 
+@pytest.mark.slow
 def test_gspmd_full_model_seq_sharding_matches_dense():
     """The entire FACT forward (convs, cross-attn, TDU) sharded over the time
     axis by GSPMD must match the single-device result."""

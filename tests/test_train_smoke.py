@@ -126,6 +126,7 @@ def test_training_multidevice_mesh(fixture_base, tmp_path):
     assert np.isfinite(best_ckpt.metrics["AccB"])
 
 
+@pytest.mark.slow
 def test_training_transcript_mode(fixture_base, tmp_path):
     """End-to-end training with transcripts given (seq matching, trans decode)."""
     cfg = smoke_cfg(fixture_base, block="iu")

@@ -119,6 +119,7 @@ def test_flat_layout_optimizer_math_bitexact():
     assert int(state_f.step) == int(state_t.step) == 3
 
 
+@pytest.mark.slow
 def test_flat_layout_optimizer_math_with_clip():
     """With global-norm clipping on, the two layouts reduce the norm in a
     different order, so equality is to rounding tolerance rather than

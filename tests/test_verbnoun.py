@@ -113,6 +113,7 @@ def test_verbnoun_training_smoke(epic_fixture, tmp_path):
     assert m["AccB"] > 35.0, m
 
 
+@pytest.mark.slow
 def test_composed_ops_match_dense(rng):
     """Chunked lazy composition == dense composition on small shapes."""
     import jax
