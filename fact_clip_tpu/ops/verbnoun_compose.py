@@ -94,10 +94,11 @@ def composed_argmax(lv, ln, vids, nids, chunk: int = 4096, tables=None,
 
     ``pallas=True`` runs the fused VMEM-resident MXU argmax
     (ops/pallas/compose_decode.py::mxu_argmax): the (T, n_act) composition
-    never reaches HBM — ~1 ms vs ~3 ms per site at epic scale.  Two-term
-    bf16 splits keep the error at ~2^-16 relative (near-exact-tie flips
-    only; the exact-f32 factored kernel measured 2.65 ms/site, lane-reduce
-    bound, and is kept for reference/verification).  ``tables`` alone
+    never reaches HBM — ~1.5 ms vs ~3 ms per site at epic scale.
+    In-kernel three-term bf16 splits keep the compose at ~f32-ulp fidelity
+    (hardware-verified 1.000 agreement with the exact dense argmax; the
+    exact-f32 factored kernel measured 2.65 ms/site, lane-reduce bound,
+    and is kept for reference/verification).  ``tables`` alone
     (mask_vn, a_table from build_factored_tables) selects the XLA factored
     formulation (measured SLOWER than dense under XLA).  Otherwise, with
     ``chunk >= n_act`` (the default for epic's ~3800 actions) the
@@ -153,8 +154,9 @@ def composed_decode(action_logp, a2f_attn, lv, ln, vids, nids, weight: float,
 
     ``pallas=True`` runs the blend + both argmaxes as one VMEM-resident
     kernel (ops/pallas/compose_decode.py): the (T, n_act) composition runs
-    on the MXU via one-hot matmuls with two-term bf16 splits (~2^-16
-    relative error; near-tie flips only) and never reaches HBM.
+    on the MXU via one-hot matmuls with in-kernel three-term bf16 splits
+    (~f32-ulp fidelity; hardware-verified 1.000 agreement) and never
+    reaches HBM.
     """
     B, M, C1 = action_logp.shape
     null_id = C1 - 1

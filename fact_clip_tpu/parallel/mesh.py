@@ -145,9 +145,11 @@ def make_eval_placer(cfg, params):
     fit at all, so set ``num_seq_shards`` high enough that
     T / n_seq stays under that per-device bound.
 
-    Decode equality under this sharding (TDU, two-branch argmax voting,
-    transcript-restricted decode) is pinned by
-    tests/test_parallel.py::test_eval_decode_seq_sharded_matches_dense.
+    Decode equality under this sharding (TDU segmentation + two-branch
+    argmax voting on the flagship block string) is pinned at T=98,304 by
+    tests/test_parallel.py::test_eval_decode_seq_sharded_matches_dense;
+    the wiring itself is exercised through the real run_eval CLI on the
+    8-device CPU mesh.
     """
     n_seq = max(1, int(cfg.TPU.num_seq_shards))
     if n_seq <= 1 or jax.device_count() < n_seq:

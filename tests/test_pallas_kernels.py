@@ -214,7 +214,7 @@ def test_compose_factored_argmax_kernel(rng):
 
 def test_compose_mxu_argmax_kernel(rng):
     """The MXU one-hot composed argmax (the production TDU path) matches the
-    dense gather argmax up to near-exact ties (two-term bf16 split)."""
+    dense gather argmax up to near-exact ties (in-kernel 3-term bf16 split)."""
     from fact_clip_tpu.ops.pallas.compose_decode import mxu_argmax
     from fact_clip_tpu.ops.verbnoun_compose import composed_argmax
 
@@ -281,7 +281,7 @@ def test_compose_mxu_argmax_under_autodiff(rng):
 
 @pytest.mark.parametrize("weight", [0.5, 0.0, 1.0])
 def test_compose_blend_argmax_kernel(rng, weight):
-    """The fused blend decode matches composed_decode's XLA path (two-term
+    """The fused blend decode matches composed_decode's XLA path (in-kernel
     bf16 split compose: near-tie flips only -> >=99.9% agreement; measured
     1.000 on this fixture)."""
     import unittest.mock as mock
